@@ -1,0 +1,172 @@
+"""MuZero configuration.
+
+Mirrors the per-game `MuZeroConfig` attribute schema of the reference
+(canonical example: reference games/cartpole.py:11-128 — ~40 attributes in 7
+groups) so JSON/dict overrides are drop-in compatible, and adds TPU-native
+knobs (parallel self-play games on device, mesh axes, dtypes).
+
+Per-game configs live in `muzero_general_tpu.games.<name>` as subclasses, the
+same plugin layout the reference loads with importlib (reference muzero.py:45-47).
+"""
+
+import datetime
+import importlib
+import pathlib
+
+
+class MuZeroConfig:
+    """Base config; per-game modules subclass and override values."""
+
+    def __init__(self):
+        self.seed = 0
+        self.max_num_gpus = None  # kept for override parity; unused on TPU
+
+        ### Game
+        self.observation_shape = (1, 1, 4)  # (channels, height, width)
+        self.action_space = list(range(2))
+        self.players = list(range(1))
+        self.stacked_observations = 0
+
+        # Evaluate
+        self.muzero_player = 0
+        self.opponent = None  # None | "random" | "expert" | "human" | "self"
+
+        ### Self-Play
+        self.num_workers = 1  # reference parity; TPU path uses parallel_games
+        self.selfplay_on_gpu = False  # reference parity; unused (TPU always)
+        self.max_moves = 500
+        self.num_simulations = 50
+        self.discount = 0.997
+        self.temperature_threshold = None
+
+        # Root prior exploration noise
+        self.root_dirichlet_alpha = 0.25
+        self.root_exploration_fraction = 0.25
+
+        # UCB formula
+        self.pb_c_base = 19652
+        self.pb_c_init = 1.25
+
+        ### Network
+        self.network = "fullyconnected"  # "resnet" / "fullyconnected"
+        self.support_size = 10
+
+        # Residual network
+        self.downsample = False  # False / "CNN" / "resnet"
+        self.blocks = 1
+        self.channels = 2
+        self.reduced_channels_reward = 2
+        self.reduced_channels_value = 2
+        self.reduced_channels_policy = 2
+        self.resnet_fc_reward_layers = []
+        self.resnet_fc_value_layers = []
+        self.resnet_fc_policy_layers = []
+
+        # Fully connected network
+        self.encoding_size = 8
+        self.fc_representation_layers = []
+        self.fc_dynamics_layers = [16]
+        self.fc_reward_layers = [16]
+        self.fc_value_layers = [16]
+        self.fc_policy_layers = [16]
+
+        ### Training
+        self.results_path = None  # set by game modules / MuZero.__init__
+        self.save_model = True
+        self.training_steps = 10000
+        self.batch_size = 128
+        self.checkpoint_interval = 10
+        self.value_loss_weight = 1
+        self.train_on_gpu = False  # reference parity; unused (TPU always)
+
+        self.optimizer = "Adam"  # "Adam" or "SGD"
+        self.weight_decay = 1e-4
+        self.momentum = 0.9
+
+        # Exponential learning rate schedule (reference trainer.py:275-283)
+        self.lr_init = 0.02
+        self.lr_decay_rate = 0.8
+        self.lr_decay_steps = 1000
+
+        ### Replay buffer
+        self.replay_buffer_size = 500
+        self.num_unroll_steps = 10
+        self.td_steps = 50
+        self.PER = True
+        self.PER_alpha = 0.5
+
+        # Reanalyze
+        self.use_last_model_value = True
+        self.reanalyse_on_gpu = False  # reference parity; unused
+
+        ### Self-play / training ratio
+        self.self_play_delay = 0
+        self.training_delay = 0
+        self.ratio = 1.5  # target training_steps / self_played_steps
+
+        ### TPU-native knobs (no reference counterpart)
+        # Number of games advanced in lockstep by the batched self-play driver
+        # (replaces the reference's num_workers Ray actors, SURVEY.md §2.8).
+        self.parallel_games = 16
+        # Moves executed per jitted self-play call (host dispatch amortization)
+        self.selfplay_chunk_moves = 8
+        # Device mesh axis sizes; None = use all devices on the dp axis.
+        self.mesh_dp = None
+        self.mesh_mp = 1
+        # Compute dtype for network matmuls ("bfloat16" or "float32")
+        self.compute_dtype = "float32"
+        # Reanalyse cadence: refresh one buffered game every N training steps
+        # (the reference runs reanalyse as a free-running actor; we schedule it).
+        self.reanalyse_interval = 20
+
+    def visit_softmax_temperature_fn(self, trained_steps):
+        """Temperature schedule (reference games/cartpole.py:115-128)."""
+        if trained_steps < 0.5 * self.training_steps:
+            return 1.0
+        elif trained_steps < 0.75 * self.training_steps:
+            return 0.5
+        else:
+            return 0.25
+
+    # Convenience derived quantities -------------------------------------
+    @property
+    def action_space_size(self) -> int:
+        return len(self.action_space)
+
+    @property
+    def num_players(self) -> int:
+        return len(self.players)
+
+    @property
+    def full_support_size(self) -> int:
+        return 2 * self.support_size + 1
+
+    def default_results_path(self, game_name: str) -> pathlib.Path:
+        return (
+            pathlib.Path(__file__).resolve().parents[1]
+            / "results"
+            / game_name
+            / datetime.datetime.now().strftime("%Y-%m-%d--%H-%M-%S")
+        )
+
+
+def load_game_module(game_name: str):
+    """Import `muzero_general_tpu.games.<game_name>`.
+
+    Same plugin-by-name mechanism as reference muzero.py:45-47.
+    """
+    return importlib.import_module("muzero_general_tpu.games." + game_name)
+
+
+def apply_overrides(config: MuZeroConfig, overrides: dict) -> MuZeroConfig:
+    """Apply a dict of attribute overrides with validation.
+
+    Parity with reference muzero.py:55-63: unknown keys raise AttributeError.
+    """
+    for key, value in overrides.items():
+        if not hasattr(config, key):
+            raise AttributeError(
+                f'Config has no attribute "{key}". Check the config file for the complete list.'
+            )
+        setattr(config, key, value)
+    return config
