@@ -1,14 +1,425 @@
-"""Orchestrator: the `MuZero` user-facing class and CLI (stub, filled in below).
+"""Orchestrator: the user-facing `MuZero` class, training loop, and CLI.
 
-Parity target: reference muzero.py:24-479 (train/test/load_model/diagnose_model),
-:495-581 (hyperparameter_search), :622-712 (CLI menu).
+Parity target: reference muzero.py (MuZero class :24-479,
+hyperparameter_search :495-581, CLI menu :622-712).
+
+The reference's Ray actor fleet (SelfPlay×N ∥ Trainer ∥ ReplayBuffer ∥
+Reanalyse ∥ SharedStorage, muzero.py:156-208) becomes a single-process
+synchronous schedule sharing jitted params in HBM: the train:act `ratio` that
+the reference approximates by bilateral sleeping (self_play.py:92-106,
+trainer.py:109-122) is enforced exactly — after each self-play chunk the
+learner catches up to ratio * num_played_steps. SharedStorage collapses to
+the 17-key checkpoint dict held in-process (SURVEY.md §2.2, §5.8).
 """
 
+import json
+import pathlib
+import sys
+import time
 
-class MuZero:  # placeholder — implemented after the training stack lands
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from muzero_general_tpu import checkpoint as ckpt_lib
+from muzero_general_tpu import config as config_lib
+from muzero_general_tpu.logger import MetricsLogger
+from muzero_general_tpu.models import MuZeroNetwork
+from muzero_general_tpu.ops.support import support_to_scalar
+from muzero_general_tpu.replay import GameHistory, ReplayBuffer
+from muzero_general_tpu.selfplay import SelfPlayDriver
+from muzero_general_tpu.trainer import TrainState, init_train_state, make_optimizer, make_train_step
+
+
+def two_player_reward_split(gh: GameHistory, muzero_player: int):
+    """MuZero-vs-opponent reward split (reference self_play.py:74-90)."""
+    mz = sum(
+        float(r)
+        for i, r in enumerate(gh.rewards)
+        if i > 0 and gh.to_play[i - 1] == muzero_player
+    )
+    opp = sum(
+        float(r)
+        for i, r in enumerate(gh.rewards)
+        if i > 0 and gh.to_play[i - 1] != muzero_player
+    )
+    return mz, opp
+
+
+class MuZero:
+    """Main class to manage MuZero (reference muzero.py:24-63 docstring API).
+
+    Args:
+        game_name: name of a module in muzero_general_tpu/games.
+        config: optional dict of overrides or a full MuZeroConfig instance.
+        split_resources_in: kept for API parity (resource splitting is a
+            Ray/GPU concept; the TPU build shares one device program).
+    """
+
     def __init__(self, game_name, config=None, split_resources_in=1):
-        raise NotImplementedError("training stack under construction")
+        self.game_name = game_name
+        game_module = config_lib.load_game_module(game_name)
+        self.make_env = game_module.make_env
+        self.config = game_module.MuZeroConfig()
+
+        if config:
+            if isinstance(config, dict):
+                config_lib.apply_overrides(self.config, config)
+            else:
+                self.config = config
+
+        if self.config.results_path is None:
+            self.config.results_path = self.config.default_results_path(game_name)
+
+        np.random.seed(self.config.seed)
+
+        self.runner = MuZeroNetwork(self.config)
+        self.checkpoint = ckpt_lib.initial_checkpoint()
+        self.replay_buffer_state = None
+        self.summary = str(self.runner.module)
+
+        # Materialize initial weights so the checkpoint is complete pre-train
+        # (counterpart of reference CPUActor.get_initial_weights, muzero.py:120-122).
+        variables = self.runner.init(jax.random.PRNGKey(self.config.seed))
+        self.checkpoint["weights"] = ckpt_lib.to_host(variables)
+
+    # ------------------------------------------------------------------
+    def _variables(self, state: TrainState):
+        v = {"params": state.params}
+        if state.batch_stats:
+            v["batch_stats"] = state.batch_stats
+        return v
+
+    def _restore_state(self) -> TrainState:
+        weights = self.checkpoint["weights"]
+        params = jax.tree_util.tree_map(jnp.asarray, weights["params"])
+        batch_stats = jax.tree_util.tree_map(
+            jnp.asarray, weights.get("batch_stats", {})
+        )
+        tx = make_optimizer(self.config)
+        if self.checkpoint["optimizer_state"] is not None:
+            opt_state = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+                self.checkpoint["optimizer_state"],
+            )
+        else:
+            opt_state = tx.init(params)
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            step=jnp.int32(self.checkpoint["training_step"]),
+        )
+
+    def _sync_checkpoint(self, state: TrainState, replay: ReplayBuffer):
+        self.checkpoint["weights"] = ckpt_lib.to_host(
+            {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        self.checkpoint["optimizer_state"] = ckpt_lib.to_host(state.opt_state)
+        self.checkpoint["num_played_games"] = replay.num_played_games
+        self.checkpoint["num_played_steps"] = replay.num_played_steps
+
+    # ------------------------------------------------------------------
+    def train(self, log_in_tensorboard=True):
+        """Synchronous actor-learner training (reference muzero.py:132-208)."""
+        cfg = self.config
+        cfg.results_path.mkdir(parents=True, exist_ok=True)
+
+        env = self.make_env()
+        runner = self.runner
+        state = self._restore_state()
+        train_step = make_train_step(runner, cfg)
+
+        driver = SelfPlayDriver(env, runner, cfg, seed=cfg.seed)
+        test_driver = SelfPlayDriver(
+            env, runner, cfg, num_games=1, seed=cfg.seed + cfg.num_workers
+        )
+
+        if self.replay_buffer_state is not None:
+            replay = ReplayBuffer(
+                cfg,
+                self.replay_buffer_state["buffer"],
+                self.replay_buffer_state["num_played_games"],
+                self.replay_buffer_state["num_played_steps"],
+            )
+        else:
+            replay = ReplayBuffer(cfg)
+
+        logger = (
+            MetricsLogger(cfg.results_path, cfg, self.summary)
+            if log_in_tensorboard
+            else None
+        )
+
+        S = cfg.support_size
+        reanalyse_fn = jax.jit(
+            lambda variables, obs: support_to_scalar(
+                runner.initial_inference(variables, obs)[0], S
+            )
+        )
+
+        training_step = self.checkpoint["training_step"]
+        print(
+            f"\nTraining {self.game_name} on {jax.devices()[0].platform} "
+            f"({len(jax.devices())} device(s))...\n"
+        )
+        t_start = time.time()
+        try:
+            while training_step < cfg.training_steps:
+                variables = self._variables(state)
+                temperature = cfg.visit_softmax_temperature_fn(training_step)
+
+                # ---- self-play chunk (all G lanes advance K moves) -------
+                games, stats = driver.play(variables, temperature)
+                for gh in games:
+                    replay.save_game(gh)
+
+                # ---- evaluation lane (greedy, reference test_mode) -------
+                test_games, _ = test_driver.play(variables, 0.0)
+                for gh in test_games:
+                    self.checkpoint["total_reward"] = float(gh.rewards.sum())
+                    self.checkpoint["episode_length"] = len(gh)
+                    vals = [v for v in gh.root_values if v]
+                    self.checkpoint["mean_value"] = float(np.mean(vals)) if vals else 0
+                    if len(cfg.players) > 1:
+                        mz, opp = two_player_reward_split(gh, cfg.muzero_player)
+                        self.checkpoint["muzero_reward"] = mz
+                        self.checkpoint["opponent_reward"] = opp
+
+                # ---- learner catches up to the exact ratio ----------------
+                ratio = cfg.ratio if cfg.ratio else 1.0
+                target = min(
+                    cfg.training_steps, int(ratio * replay.num_played_steps)
+                )
+                while training_step < target and replay.buffer:
+                    index_batch, batch = replay.get_batch()
+                    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                    state, metrics, priorities = train_step(state, batch)
+                    training_step += 1
+                    if cfg.PER:
+                        replay.update_priorities(np.asarray(priorities), index_batch)
+                    if (
+                        cfg.use_last_model_value
+                        and training_step % self.config.reanalyse_interval == 0
+                        and replay.buffer
+                    ):
+                        gid, gh, _ = replay.sample_game(force_uniform=True)
+                        obs = jnp.asarray(replay.reanalyse_observations(gh))
+                        values = reanalyse_fn(self._variables(state), obs)
+                        replay.update_reanalysed_values(gid, np.asarray(values))
+                        self.checkpoint["num_reanalysed_games"] += 1
+                    if training_step % cfg.checkpoint_interval == 0:
+                        for k in ("total_loss", "value_loss", "reward_loss", "policy_loss"):
+                            self.checkpoint[k] = float(metrics[k])
+                        self.checkpoint["lr"] = float(metrics["lr"])
+                        self.checkpoint["training_step"] = training_step
+                        self._sync_checkpoint(state, replay)
+                        if cfg.save_model:
+                            ckpt_lib.save_checkpoint(
+                                self.checkpoint, cfg.results_path / "model.checkpoint"
+                            )
+
+                self.checkpoint["training_step"] = training_step
+                self.checkpoint["num_played_games"] = replay.num_played_games
+                self.checkpoint["num_played_steps"] = replay.num_played_steps
+                if logger:
+                    logger.log(self.checkpoint)
+                print(
+                    f'Last test reward: {self.checkpoint["total_reward"]:.2f}. '
+                    f"Training step: {training_step}/{cfg.training_steps}. "
+                    f"Played games: {replay.num_played_games}. "
+                    f'Loss: {self.checkpoint["total_loss"]:.2f}. '
+                    f"Env steps/s: {replay.num_played_steps / max(1e-9, time.time() - t_start):.0f}",
+                    end="\r",
+                )
+        except KeyboardInterrupt:
+            pass
+
+        # Final persist (reference muzero.py:334-346, 348-367)
+        self.checkpoint["training_step"] = training_step
+        self._sync_checkpoint(state, replay)
+        if cfg.save_model:
+            ckpt_lib.save_checkpoint(
+                self.checkpoint, cfg.results_path / "model.checkpoint"
+            )
+            ckpt_lib.save_replay_buffer(
+                replay, self.checkpoint, cfg.results_path / "replay_buffer.pkl"
+            )
+        if logger:
+            logger.close()
+        print()
+        return self.checkpoint
+
+    # ------------------------------------------------------------------
+    def test(self, render=False, opponent=None, muzero_player=None, num_tests=1,
+             num_gpus=0):
+        """Greedy evaluation (reference muzero.py:369-424).
+
+        opponent ∈ {"self", "random", "expert"}; "human" is handled by the
+        interactive CLI path. num_gpus kept for API parity.
+        """
+        cfg = self.config
+        opponent = opponent or cfg.opponent or "self"
+        muzero_player = (
+            muzero_player if muzero_player is not None else cfg.muzero_player
+        )
+        env = self.make_env()
+        state = self._restore_state()
+        variables = self._variables(state)
+
+        if opponent != "self":
+            from muzero_general_tpu.evaluate import play_against_opponent
+
+            results = [
+                play_against_opponent(
+                    env, self.runner, cfg, variables, opponent, muzero_player,
+                    seed=cfg.seed + i, render=render,
+                )
+                for i in range(num_tests)
+            ]
+        else:
+            driver = SelfPlayDriver(env, self.runner, cfg, num_games=1, seed=cfg.seed)
+            results = []
+            while len(results) < num_tests:
+                games, _ = driver.play(variables, 0.0)
+                results.extend(games)
+            results = results[:num_tests]
+
+        if len(cfg.players) == 1:
+            result = float(np.mean([gh.rewards.sum() for gh in results]))
+        else:
+            result = float(
+                np.mean(
+                    [two_player_reward_split(gh, muzero_player)[0] for gh in results]
+                )
+            )
+        print(f"\nTest results: {result:.2f} (mean over {num_tests} games)")
+        return result
+
+    # ------------------------------------------------------------------
+    def load_model(self, checkpoint_path=None, replay_buffer_path=None):
+        """Restore checkpoint and optionally the replay buffer
+        (reference muzero.py:426-464)."""
+        if checkpoint_path:
+            checkpoint_path = pathlib.Path(checkpoint_path)
+            self.checkpoint = ckpt_lib.load_checkpoint(checkpoint_path)
+            print(f"\nUsing checkpoint from {checkpoint_path}")
+        if replay_buffer_path:
+            replay_buffer_path = pathlib.Path(replay_buffer_path)
+            self.replay_buffer_state = ckpt_lib.load_replay_buffer(
+                replay_buffer_path
+            )
+            print(f"Initializing replay buffer with {replay_buffer_path}")
+        else:
+            # Counters start fresh without a buffer (reference muzero.py:449-461)
+            self.checkpoint["training_step"] = 0
+            self.checkpoint["num_played_steps"] = 0
+            self.checkpoint["num_played_games"] = 0
+            self.checkpoint["num_reanalysed_games"] = 0
+
+    # ------------------------------------------------------------------
+    def diagnose_model(self, horizon=3):
+        """Virtual-vs-real trajectory diagnosis (reference muzero.py:466-479)."""
+        from muzero_general_tpu.diagnose import DiagnoseModel
+
+        state = self._restore_state()
+        dm = DiagnoseModel(self.runner, self.config)
+        dm.compare_virtual_with_real_trajectories(
+            self._variables(state), self.make_env(), horizon
+        )
 
 
-def hyperparameter_search(*args, **kwargs):
-    raise NotImplementedError("training stack under construction")
+def hyperparameter_search(game_name, parametrization, budget, parallel_experiments,
+                          num_tests):
+    """(1+1)-ES hyperparameter search (reference muzero.py:495-581 used
+    nevergrad OnePlusOne; nevergrad is unavailable here so an equivalent
+    one-plus-one evolutionary loop is built in — see search.py)."""
+    from muzero_general_tpu.search import one_plus_one_search
+
+    return one_plus_one_search(
+        game_name, parametrization, budget, parallel_experiments, num_tests
+    )
+
+
+def load_model_menu(muzero, game_name):
+    """Interactive checkpoint picker (reference muzero.py:584-619)."""
+    results_dir = pathlib.Path(__file__).resolve().parents[1] / "results" / game_name
+    options = ["Specify paths manually"] + sorted(
+        str(p) for p in results_dir.glob("*/") if p.is_dir()
+    )
+    for i, option in enumerate(options):
+        print(f"{i}. {option}")
+    choice = input("Enter a number to choose a model to load: ")
+    choice = int(choice) if choice.isdigit() and int(choice) < len(options) else 0
+    if choice == 0:
+        checkpoint_path = input("Enter a path to the model.checkpoint: ")
+        replay_buffer_path = input("Enter a path to the replay_buffer.pkl: ")
+    else:
+        checkpoint_path = pathlib.Path(options[choice]) / "model.checkpoint"
+        replay_buffer_path = pathlib.Path(options[choice]) / "replay_buffer.pkl"
+        if not pathlib.Path(replay_buffer_path).exists():
+            replay_buffer_path = None
+    muzero.load_model(
+        checkpoint_path=checkpoint_path, replay_buffer_path=replay_buffer_path
+    )
+
+
+def main(argv=None):
+    """CLI: `python -m muzero_general_tpu [game] ['{json overrides}']`
+    (reference muzero.py:622-712)."""
+    argv = argv if argv is not None else sys.argv[1:]
+    from muzero_general_tpu.games import AVAILABLE_GAMES
+
+    if argv:
+        game_name = argv[0]
+        overrides = json.loads(argv[1]) if len(argv) > 1 else None
+        muzero = MuZero(game_name, overrides)
+        muzero.train()
+        return
+
+    print("\nWelcome to MuZero (TPU edition)! Here's a list of games:")
+    for i, name in enumerate(AVAILABLE_GAMES):
+        print(f"{i}. {name}")
+    choice = input("Enter a number to choose the game: ")
+    game_name = AVAILABLE_GAMES[int(choice)] if choice.isdigit() else "cartpole"
+    muzero = MuZero(game_name)
+
+    while True:
+        options = [
+            "Train",
+            "Load pretrained model",
+            "Diagnose model",
+            "Render some self play games",
+            "Play against MuZero",
+            "Test the game manually",
+            "Hyperparameter search",
+            "Exit",
+        ]
+        print()
+        for i, option in enumerate(options):
+            print(f"{i}. {option}")
+        choice = input("Enter a number to choose an action: ")
+        choice = int(choice) if choice.isdigit() else 7
+        if choice == 0:
+            muzero.train()
+        elif choice == 1:
+            load_model_menu(muzero, game_name)
+        elif choice == 2:
+            muzero.diagnose_model(horizon=30)
+        elif choice == 3:
+            muzero.test(render=True, opponent="self", muzero_player=None)
+        elif choice == 4:
+            muzero.test(render=True, opponent="human", muzero_player=0)
+        elif choice == 5:
+            from muzero_general_tpu.evaluate import manual_game
+
+            manual_game(muzero.make_env())
+        elif choice == 6:
+            hyperparameter_search(game_name, None, budget=20,
+                                  parallel_experiments=1, num_tests=10)
+        else:
+            break
+
+
+if __name__ == "__main__":
+    main()

@@ -215,8 +215,15 @@ def _simulate_once(tree: Tree, sim, rng, spec: SearchSpec, recurrent_fn, root_to
     )
 
     # ---- Backpropagation (self_play.py:406-430) --------------------------
-    def backprop_body(t_rev, carry):
-        tree, value = carry
+    # Walk leaf -> root with a while_loop that exits once every lane has
+    # passed its root: iterations = max real path length over the batch,
+    # not the static worst case (typical tree depth ≪ num_simulations).
+    def backprop_cond(carry):
+        _, _, t_rev = carry
+        return jnp.any(leaf_depth - t_rev >= 0)
+
+    def backprop_body(carry):
+        tree, value, t_rev = carry
         t = leaf_depth - t_rev  # per-batch depth index, walks leaf -> root
         valid = t >= 0
         node = path[b_idx, jnp.maximum(t, 0)]
@@ -254,10 +261,10 @@ def _simulate_once(tree: Tree, sim, rng, spec: SearchSpec, recurrent_fn, root_to
                 + spec.discount * value
             )
         value = jnp.where(valid, value_next, value)
-        return tree, value
+        return tree, value, t_rev + 1
 
-    tree, _ = jax.lax.fori_loop(
-        0, spec.max_depth + 1, backprop_body, (tree, leaf_value)
+    tree, _, _ = jax.lax.while_loop(
+        backprop_cond, backprop_body, (tree, leaf_value, jnp.int32(0))
     )
     return tree, leaf_depth
 

@@ -1,0 +1,229 @@
+"""Batched on-device self-play driver.
+
+Re-design of the reference's per-actor sequential play loop
+(reference self_play.py:110-183 play_game, :31-108 continuous_self_play):
+G games advance in lockstep inside one jitted function — observation
+stacking, batched MCTS, temperature action sampling, env step, and auto-reset
+all under jit, scanned over `selfplay_chunk_moves` moves per host dispatch.
+The host only accumulates the emitted per-move records and cuts them into
+complete `GameHistory` episodes at done boundaries.
+
+The `num_workers` Ray actors of the reference become the batch dimension G
+(SURVEY.md §2.8 → §7); per-worker seeding (reference muzero.py:185) becomes
+per-lane PRNG key folding.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from muzero_general_tpu.ops import mcts as mcts_ops
+from muzero_general_tpu.ops.stacking import (
+    push_history,
+    reset_history,
+    stack_observations,
+)
+from muzero_general_tpu.replay import GameHistory
+
+
+class SelfPlayCarry(NamedTuple):
+    env_state: object  # vmapped env state pytree [G, ...]
+    obs_hist: jnp.ndarray  # [G, n+1, C, H, W]
+    act_hist: jnp.ndarray  # [G, n+1]
+    move_count: jnp.ndarray  # [G] int32 moves played in current episode
+    rng: jnp.ndarray  # PRNG key
+
+
+class MoveRecord(NamedTuple):
+    """Per-move emission, leading dims [K, G]."""
+
+    observation: jnp.ndarray  # [K, G, C, H, W] obs the move was taken from
+    action: jnp.ndarray  # [K, G]
+    reward: jnp.ndarray  # [K, G]
+    done: jnp.ndarray  # [K, G] bool — episode ended on this move
+    to_play: jnp.ndarray  # [K, G] player at the observation
+    to_play_next: jnp.ndarray  # [K, G] player at the post-move state
+    child_visits: jnp.ndarray  # [K, G, A]
+    root_value: jnp.ndarray  # [K, G]
+    pred_value: jnp.ndarray  # [K, G] network value at root
+    max_tree_depth: jnp.ndarray  # [K, G]
+
+
+class SelfPlayDriver:
+    def __init__(self, env, runner, config, num_games: Optional[int] = None,
+                 seed: Optional[int] = None, deterministic: bool = False):
+        self.env = env
+        self.runner = runner
+        self.config = config
+        self.G = num_games or config.parallel_games
+        self.spec = mcts_ops.SearchSpec.from_config(config)
+        self.A = env.num_actions
+        n = config.stacked_observations
+        c, h, w = env.observation_shape
+        self._obs_shape = (c, h, w)
+        self._n = n
+        self._rng = jax.random.PRNGKey(config.seed if seed is None else seed)
+        self._carry = None
+        # Per-lane lists of record slabs ([T, ...] arrays) awaiting a done cut
+        self._pending = [[] for _ in range(self.G)]
+        self._build(deterministic)
+
+    def _build(self, deterministic):
+        env, runner, config = self.env, self.runner, self.config
+        G, A, n = self.G, self.A, self._n
+        spec = self.spec
+        temperature_threshold = config.temperature_threshold
+
+        v_reset = jax.vmap(env.reset)
+        v_obs = jax.vmap(env.observation)
+        v_step = jax.vmap(env.step)
+        v_legal = jax.vmap(env.legal_actions_mask)
+        v_to_play = jax.vmap(env.to_play)
+
+        def init_carry(rng):
+            k0, k1 = jax.random.split(rng)
+            states = v_reset(jax.random.split(k0, G))
+            obs0 = v_obs(states)
+            obs_hist = jnp.zeros((G, n + 1) + self._obs_shape).at[:, 0].set(obs0)
+            act_hist = jnp.zeros((G, n + 1), jnp.int32)
+            return SelfPlayCarry(states, obs_hist, act_hist,
+                                 jnp.zeros((G,), jnp.int32), k1)
+
+        def one_move(variables, carry, temperature, add_noise):
+            rng, k_mcts, k_sel, k_step, k_reset = jax.random.split(carry.rng, 5)
+            stacked = stack_observations(carry.obs_hist, carry.act_hist, A)
+            legal = v_legal(carry.env_state)
+            to_play = v_to_play(carry.env_state)
+
+            out = mcts_ops.run_mcts(
+                lambda o: runner.initial_inference(variables, o),
+                lambda h, a: runner.recurrent_inference(variables, h, a),
+                stacked, legal, to_play, k_mcts, spec,
+                add_exploration_noise=add_noise,
+            )
+
+            # Per-lane temperature: drops to 0 after temperature_threshold
+            # moves (reference self_play.py:151-157).
+            if temperature_threshold:
+                a_hot = mcts_ops.select_action(
+                    k_sel, out.root_visit_counts, legal, temperature
+                )
+                a_cold = mcts_ops.select_action(
+                    k_sel, out.root_visit_counts, legal, jnp.float32(0.0)
+                )
+                action = jnp.where(
+                    carry.move_count < temperature_threshold, a_hot, a_cold
+                )
+            else:
+                action = mcts_ops.select_action(
+                    k_sel, out.root_visit_counts, legal, temperature
+                )
+
+            states2, reward, done = v_step(
+                carry.env_state, action, jax.random.split(k_step, G)
+            )
+            # Enforce max_moves on device so host episode cuts and env resets
+            # stay in lockstep (reference stops the play loop at max_moves,
+            # self_play.py:129-131).
+            done = done | (carry.move_count + 1 >= config.max_moves)
+            record = MoveRecord(
+                observation=carry.obs_hist[:, 0],
+                action=action,
+                reward=reward,
+                done=done,
+                to_play=to_play,
+                to_play_next=v_to_play(states2),
+                child_visits=mcts_ops.visit_policy(out.root_visit_counts),
+                root_value=out.root_value,
+                pred_value=out.root_predicted_value,
+                max_tree_depth=out.max_tree_depth,
+            )
+
+            # Push history, then auto-reset finished lanes.
+            new_obs = v_obs(states2)
+            obs_hist, act_hist = push_history(
+                carry.obs_hist, carry.act_hist, new_obs, action
+            )
+            fresh = v_reset(jax.random.split(k_reset, G))
+            states3 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    done.reshape((G,) + (1,) * (a.ndim - 1)), a, b
+                ),
+                fresh, states2,
+            )
+            obs0 = v_obs(states3)
+            obs_hist, act_hist = reset_history(obs_hist, act_hist, obs0, done)
+            move_count = jnp.where(done, 0, carry.move_count + 1)
+            return SelfPlayCarry(states3, obs_hist, act_hist, move_count, rng), record
+
+        def play_chunk(variables, carry, temperature, num_moves, add_noise):
+            def body(carry, _):
+                return one_move(variables, carry, temperature, add_noise)
+
+            return jax.lax.scan(body, carry, None, length=num_moves)
+
+        self._init_carry = jax.jit(init_carry)
+        self._play_chunk = jax.jit(
+            play_chunk, static_argnames=("num_moves", "add_noise")
+        )
+
+    # ------------------------------------------------------------------
+    def play(self, variables, temperature: float, num_moves: Optional[int] = None,
+             add_noise: bool = True):
+        """Advance all G games `num_moves` moves; return completed episodes.
+
+        Returns (list[GameHistory], stats dict).
+        """
+        if self._carry is None:
+            self._rng, k = jax.random.split(self._rng)
+            self._carry = self._init_carry(k)
+        K = num_moves or self.config.selfplay_chunk_moves
+        self._carry, rec = self._play_chunk(
+            variables, self._carry, jnp.float32(temperature), K, add_noise
+        )
+        rec = jax.tree_util.tree_map(np.asarray, rec)
+
+        completed = []
+        stats = {
+            "env_steps": K * self.G,
+            "max_tree_depth": int(rec.max_tree_depth.max()),
+            "pred_values": rec.pred_value,
+        }
+        for g in range(self.G):
+            done_ks = np.flatnonzero(rec.done[:, g])
+            start = 0
+            for k in done_ks:
+                self._pending[g].append(self._slab(rec, g, start, k + 1))
+                completed.append(self._finish(g, rec.to_play_next[k, g]))
+                start = k + 1
+            if start < K:
+                self._pending[g].append(self._slab(rec, g, start, K))
+        return completed, stats
+
+    @staticmethod
+    def _slab(rec, g, a, b):
+        return (
+            rec.observation[a:b, g],
+            rec.action[a:b, g],
+            rec.reward[a:b, g],
+            rec.to_play[a:b, g],
+            rec.child_visits[a:b, g],
+            rec.root_value[a:b, g],
+        )
+
+    def _finish(self, g, final_to_play) -> GameHistory:
+        obs, act, rew, tp, cv, rv = (
+            np.concatenate(parts) for parts in zip(*self._pending[g])
+        )
+        gh = GameHistory(
+            observations=obs.astype(np.float32),
+            actions=np.concatenate([[0], act]).astype(np.int32),
+            rewards=np.concatenate([[0.0], rew]).astype(np.float32),
+            to_play=np.concatenate([tp, [final_to_play]]).astype(np.int32),
+            child_visits=cv.astype(np.float32),
+            root_values=rv.astype(np.float32),
+        )
+        self._pending[g] = []
+        return gh
