@@ -1,0 +1,167 @@
+"""Host-path environments (non-jittable backends: gymnasium, Box2D, ALE).
+
+Counterpart of the reference's AbstractGame wrappers around gym envs
+(reference games/cartpole.py:131-204, lunarlander.py:131-162, atari.py:109-199).
+These run on the host; the HostSelfPlayDriver (hostplay.py) batches N
+instances and runs the MCTS for all of them on device each move.
+"""
+
+import numpy as np
+
+
+class HostEnv:
+    """Stateful host env with the AbstractGame step contract."""
+
+    observation_shape = None  # (C, H, W)
+    num_actions = None
+    num_players = 1
+    host_env = True
+
+    def reset(self) -> np.ndarray:
+        raise NotImplementedError
+
+    def step(self, action):
+        """-> (observation [C,H,W], reward, done)"""
+        raise NotImplementedError
+
+    def legal_actions_mask(self) -> np.ndarray:
+        return np.ones(self.num_actions, bool)
+
+    def to_play(self) -> int:
+        return 0
+
+    def close(self):
+        pass
+
+    def render(self):
+        pass
+
+    def action_to_string(self, action):
+        return str(action)
+
+    def expert_action(self, rng):
+        legal = np.flatnonzero(self.legal_actions_mask())
+        return int(rng.choice(legal))
+
+
+class LunarLander(HostEnv):
+    """gymnasium LunarLander with reward/3 scaling (reference
+    games/lunarlander.py:141-149). The reference ships a from-scratch
+    deterministic Box2D lander with engine dispersion zeroed
+    (lunarlander.py:291-651, :480); we use the stock gymnasium physics —
+    same observation/action/reward contract, slightly noisier engines."""
+
+    observation_shape = (1, 1, 8)
+    num_actions = 4
+
+    def __init__(self, seed=None):
+        import gymnasium
+
+        self.env = gymnasium.make("LunarLander-v3")
+        self._seed = seed
+        self._rng = np.random.default_rng(seed)
+
+    def reset(self):
+        obs, _ = self.env.reset(seed=int(self._rng.integers(0, 2**31 - 1)))
+        return np.array([[obs]], np.float32)
+
+    def step(self, action):
+        obs, reward, terminated, truncated, _ = self.env.step(int(action))
+        return np.array([[obs]], np.float32), float(reward) / 3.0, bool(
+            terminated or truncated
+        )
+
+    def close(self):
+        self.env.close()
+
+    def action_to_string(self, action):
+        return f"{action}. " + ["Do nothing", "Fire left engine",
+                                "Fire main engine", "Fire right engine"][int(action)]
+
+
+class AtariBreakout(HostEnv):
+    """Breakout with the reference's preprocessing: cv2 resize to 96x96,
+    /255, CHW (reference games/atari.py:146-160). Requires ale-py, which is
+    not shipped in this image — construction raises with a clear message."""
+
+    observation_shape = (3, 96, 96)
+    num_actions = 4
+
+    def __init__(self, seed=None):
+        try:
+            import ale_py  # noqa: F401
+            import gymnasium
+
+            self.env = gymnasium.make("ALE/Breakout-v5")
+        except ImportError as e:
+            raise ImportError(
+                "The atari/breakout games need ale-py (gymnasium[atari]), "
+                "which is not available in this environment."
+            ) from e
+        self._rng = np.random.default_rng(seed)
+
+    def _preprocess(self, obs):
+        import cv2
+
+        obs = cv2.resize(obs, (96, 96), interpolation=cv2.INTER_AREA)
+        return np.moveaxis(obs, -1, 0).astype(np.float32) / 255.0
+
+    def reset(self):
+        obs, _ = self.env.reset(seed=int(self._rng.integers(0, 2**31 - 1)))
+        return self._preprocess(obs)
+
+    def step(self, action):
+        obs, reward, terminated, truncated, _ = self.env.step(int(action))
+        return self._preprocess(obs), float(reward), bool(terminated or truncated)
+
+    def close(self):
+        self.env.close()
+
+
+class SpielGame(HostEnv):
+    """OpenSpiel wrapper (reference games/spiel.py:240-297). pyspiel is not
+    shipped in this image — construction raises with a clear message."""
+
+    def __init__(self, game_name="tic_tac_toe", seed=None):
+        try:
+            import pyspiel
+        except ImportError as e:
+            raise ImportError(
+                "The spiel game needs open_spiel (pyspiel), which is not "
+                "available in this environment."
+            ) from e
+        self.game = pyspiel.load_game(game_name)
+        shape = self.game.observation_tensor_shape()
+        self.observation_shape = tuple(shape) if len(shape) == 3 else (
+            1, 1, int(np.prod(shape))
+        )
+        self.num_actions = self.game.policy_tensor_shape()[0]
+        self.num_players = self.game.num_players()
+        self.state = None
+
+    def reset(self):
+        self.state = self.game.new_initial_state()
+        return self._obs()
+
+    def _obs(self):
+        t = np.asarray(
+            self.state.observation_tensor(self.state.current_player()), np.float32
+        )
+        return t.reshape(self.observation_shape)
+
+    def step(self, action):
+        player = self.state.current_player()
+        self.state.apply_action(int(action))
+        done = self.state.is_terminal()
+        reward = self.state.player_return(player) if done else 0.0
+        return self._obs() if not done else np.zeros(
+            self.observation_shape, np.float32
+        ), float(reward), bool(done)
+
+    def to_play(self):
+        return max(0, self.state.current_player())
+
+    def legal_actions_mask(self):
+        mask = np.zeros(self.num_actions, bool)
+        mask[self.state.legal_actions()] = True
+        return mask

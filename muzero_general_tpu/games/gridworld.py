@@ -1,11 +1,7 @@
-"""CartPole game module.
-
-Config values are parity with reference games/cartpole.py:11-128 (the CI
-benchmark game); the env is the jittable CartPole re-implementation.
-"""
+"""gridworld game module (config parity: reference games/gridworld.py:11-128)."""
 
 from muzero_general_tpu import config as config_lib
-from muzero_general_tpu.envs.cartpole import CartPole
+from muzero_general_tpu.envs.gridworld import GridWorld
 
 
 class MuZeroConfig(config_lib.MuZeroConfig):
@@ -13,19 +9,16 @@ class MuZeroConfig(config_lib.MuZeroConfig):
         super().__init__()
 
         self.seed = 0
-
-        ### Game
-        self.observation_shape = (1, 1, 4)
-        self.action_space = list(range(2))
+        self.observation_shape = (7, 7, 3)
+        self.action_space = list(range(3))
         self.players = list(range(1))
         self.stacked_observations = 0
         self.muzero_player = 0
         self.opponent = None
 
-        ### Self-Play
-        self.num_workers = 1
-        self.max_moves = 500
-        self.num_simulations = 50
+        self.num_workers = 4
+        self.max_moves = 15
+        self.num_simulations = 20
         self.discount = 0.997
         self.temperature_threshold = None
         self.root_dirichlet_alpha = 0.25
@@ -33,7 +26,6 @@ class MuZeroConfig(config_lib.MuZeroConfig):
         self.pb_c_base = 19652
         self.pb_c_init = 1.25
 
-        ### Network
         self.network = "fullyconnected"
         self.support_size = 10
         self.encoding_size = 8
@@ -43,36 +35,32 @@ class MuZeroConfig(config_lib.MuZeroConfig):
         self.fc_value_layers = [16]
         self.fc_policy_layers = [16]
 
-        ### Training
-        self.training_steps = 10000
+        self.training_steps = 30000
         self.batch_size = 128
         self.checkpoint_interval = 10
         self.value_loss_weight = 1
         self.optimizer = "Adam"
         self.weight_decay = 1e-4
-        self.lr_init = 0.02
-        self.lr_decay_rate = 0.8
+        self.lr_init = 0.005
+        self.lr_decay_rate = 1
         self.lr_decay_steps = 1000
 
-        ### Replay Buffer
-        self.replay_buffer_size = 500
+        self.replay_buffer_size = 5000
         self.num_unroll_steps = 10
-        self.td_steps = 50
-        self.PER = True
+        self.td_steps = 20
+        self.PER = False
         self.PER_alpha = 0.5
-        self.use_last_model_value = True
+        self.use_last_model_value = False
 
-        ### Ratio
         self.self_play_delay = 0
         self.training_delay = 0
-        self.ratio = 1.5
+        self.ratio = None
 
-        ### TPU-native
-        self.parallel_games = 16
+        self.parallel_games = 32
         self.selfplay_chunk_moves = 8
 
     def visit_softmax_temperature_fn(self, trained_steps):
-        """Reference games/cartpole.py:115-128."""
+        """Reference games/gridworld.py:115-128."""
         if trained_steps < 0.5 * self.training_steps:
             return 1.0
         elif trained_steps < 0.75 * self.training_steps:
@@ -82,4 +70,4 @@ class MuZeroConfig(config_lib.MuZeroConfig):
 
 
 def make_env(seed=None):
-    return CartPole()
+    return GridWorld()

@@ -1,11 +1,12 @@
-"""CartPole game module.
+"""lunarlander game module (config parity: reference games/lunarlander.py:11-128).
 
-Config values are parity with reference games/cartpole.py:11-128 (the CI
-benchmark game); the env is the jittable CartPole re-implementation.
+Host-path env: gymnasium LunarLander with reward/3 scaling. The reference
+uses a from-scratch deterministic Box2D lander (lunarlander.py:291-651);
+see envs/host.py for the delta.
 """
 
 from muzero_general_tpu import config as config_lib
-from muzero_general_tpu.envs.cartpole import CartPole
+from muzero_general_tpu.envs.host import LunarLander
 
 
 class MuZeroConfig(config_lib.MuZeroConfig):
@@ -13,73 +14,62 @@ class MuZeroConfig(config_lib.MuZeroConfig):
         super().__init__()
 
         self.seed = 0
-
-        ### Game
-        self.observation_shape = (1, 1, 4)
-        self.action_space = list(range(2))
+        self.observation_shape = (1, 1, 8)
+        self.action_space = list(range(4))
         self.players = list(range(1))
         self.stacked_observations = 0
         self.muzero_player = 0
         self.opponent = None
 
-        ### Self-Play
         self.num_workers = 1
-        self.max_moves = 500
+        self.max_moves = 700
         self.num_simulations = 50
-        self.discount = 0.997
+        self.discount = 0.999
         self.temperature_threshold = None
         self.root_dirichlet_alpha = 0.25
         self.root_exploration_fraction = 0.25
         self.pb_c_base = 19652
         self.pb_c_init = 1.25
 
-        ### Network
         self.network = "fullyconnected"
         self.support_size = 10
-        self.encoding_size = 8
+        self.encoding_size = 10
         self.fc_representation_layers = []
-        self.fc_dynamics_layers = [16]
-        self.fc_reward_layers = [16]
-        self.fc_value_layers = [16]
-        self.fc_policy_layers = [16]
+        self.fc_dynamics_layers = [64]
+        self.fc_reward_layers = [64]
+        self.fc_value_layers = [64]
+        self.fc_policy_layers = [64]
 
-        ### Training
-        self.training_steps = 10000
-        self.batch_size = 128
+        self.training_steps = 200000
+        self.batch_size = 64
         self.checkpoint_interval = 10
         self.value_loss_weight = 1
         self.optimizer = "Adam"
         self.weight_decay = 1e-4
-        self.lr_init = 0.02
-        self.lr_decay_rate = 0.8
+        self.lr_init = 0.005
+        self.lr_decay_rate = 1
         self.lr_decay_steps = 1000
 
-        ### Replay Buffer
-        self.replay_buffer_size = 500
+        self.replay_buffer_size = 2000
         self.num_unroll_steps = 10
-        self.td_steps = 50
+        self.td_steps = 30
         self.PER = True
         self.PER_alpha = 0.5
         self.use_last_model_value = True
 
-        ### Ratio
         self.self_play_delay = 0
         self.training_delay = 0
-        self.ratio = 1.5
+        # Reference best-known anneal 0.8 -> 0.4 (lunarlander.py:109); the
+        # constant midpoint is used for the synchronous schedule.
+        self.ratio = 0.6
 
-        ### TPU-native
         self.parallel_games = 16
         self.selfplay_chunk_moves = 8
 
     def visit_softmax_temperature_fn(self, trained_steps):
-        """Reference games/cartpole.py:115-128."""
-        if trained_steps < 0.5 * self.training_steps:
-            return 1.0
-        elif trained_steps < 0.75 * self.training_steps:
-            return 0.5
-        else:
-            return 0.25
+        """Reference games/lunarlander.py:124 (constant 0.35)."""
+        return 0.35
 
 
 def make_env(seed=None):
-    return CartPole()
+    return LunarLander(seed=seed)

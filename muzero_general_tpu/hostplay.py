@@ -1,0 +1,155 @@
+"""Host-path self-play driver for non-jittable envs.
+
+Same contract as selfplay.SelfPlayDriver (play() -> completed GameHistory
+list + stats) but env transitions run on the host while the batched MCTS for
+all N env instances runs on device each move. Covers the reference's gym /
+Box2D / ALE / OpenSpiel games (SURVEY.md §7 host/device split).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from muzero_general_tpu.ops import mcts as mcts_ops
+from muzero_general_tpu.replay import GameHistory
+
+
+class HostSelfPlayDriver:
+    def __init__(self, env_factory, runner, config, num_games: Optional[int] = None,
+                 seed: Optional[int] = None):
+        self.config = config
+        self.runner = runner
+        self.G = num_games or config.parallel_games
+        base_seed = config.seed if seed is None else seed
+        self.envs = [env_factory(seed=base_seed + i) for i in range(self.G)]
+        env0 = self.envs[0]
+        self.A = env0.num_actions
+        self.obs_shape = tuple(env0.observation_shape)
+        self.n = config.stacked_observations
+        self.spec = mcts_ops.SearchSpec.from_config(config)
+        self._rng = jax.random.PRNGKey(base_seed)
+
+        runner_ref = runner
+
+        @jax.jit
+        def search_and_select(variables, stacked, legal, to_play, temperature, rng):
+            out = mcts_ops.run_mcts(
+                lambda o: runner_ref.initial_inference(variables, o),
+                lambda h, a: runner_ref.recurrent_inference(variables, h, a),
+                stacked, legal, to_play, rng, self.spec,
+                add_exploration_noise=True,
+            )
+            action = mcts_ops.select_action(
+                jax.random.fold_in(rng, 7), out.root_visit_counts, legal, temperature
+            )
+            return (
+                action,
+                mcts_ops.visit_policy(out.root_visit_counts),
+                out.root_value,
+                out.root_predicted_value,
+                out.max_tree_depth,
+            )
+
+        self._search = search_and_select
+
+        # Rings: slot 0 = newest
+        self._obs_hist = np.zeros((self.G, self.n + 1) + self.obs_shape, np.float32)
+        self._act_hist = np.zeros((self.G, self.n + 1), np.int32)
+        self._move_count = np.zeros(self.G, np.int32)
+        self._records = [self._empty() for _ in range(self.G)]
+        for g, env in enumerate(self.envs):
+            self._obs_hist[g, 0] = env.reset()
+
+    def _empty(self):
+        return {"obs": [], "act": [], "rew": [], "tp": [], "cv": [], "rv": []}
+
+    def _stacked(self):
+        """Stack rings -> [G, C*(n+1)+n, H, W] (same layout as ops.stacking)."""
+        parts = [self._obs_hist[:, 0]]
+        c, h, w = self.obs_shape
+        for k in range(1, self.n + 1):
+            plane = np.broadcast_to(
+                (self._act_hist[:, k - 1, None, None, None] / self.A).astype(
+                    np.float32
+                ),
+                (self.G, 1, h, w),
+            )
+            parts.append(self._obs_hist[:, k])
+            parts.append(plane)
+        return np.concatenate(parts, axis=1)
+
+    def play(self, variables, temperature: float, num_moves: Optional[int] = None,
+             add_noise: bool = True):
+        K = num_moves or self.config.selfplay_chunk_moves
+        completed = []
+        max_depth_seen = 0
+        tt = self.config.temperature_threshold
+        for _ in range(K):
+            stacked = self._stacked()
+            legal = np.stack([e.legal_actions_mask() for e in self.envs])
+            to_play = np.array([e.to_play() for e in self.envs], np.int32)
+            self._rng, k = jax.random.split(self._rng)
+            action, cv, rv, pv, depth = self._search(
+                variables,
+                jnp.asarray(stacked),
+                jnp.asarray(legal),
+                jnp.asarray(to_play),
+                jnp.float32(temperature),
+                k,
+            )
+            action = np.asarray(action)
+            if tt:
+                # temperature 0 after the threshold (reference self_play.py:151-157)
+                self._rng, k2 = jax.random.split(self._rng)
+                greedy, *_ = self._search(
+                    variables, jnp.asarray(stacked), jnp.asarray(legal),
+                    jnp.asarray(to_play), jnp.float32(0.0), k,
+                )
+                action = np.where(
+                    self._move_count >= tt, np.asarray(greedy), action
+                )
+            cv, rv = np.asarray(cv), np.asarray(rv)
+            max_depth_seen = max(max_depth_seen, int(np.asarray(depth).max()))
+
+            for g, env in enumerate(self.envs):
+                obs_now = self._obs_hist[g, 0]
+                obs2, reward, done = env.step(int(action[g]))
+                p = self._records[g]
+                p["obs"].append(obs_now)
+                p["act"].append(int(action[g]))
+                p["rew"].append(float(reward))
+                p["tp"].append(int(to_play[g]))
+                p["cv"].append(cv[g])
+                p["rv"].append(float(rv[g]))
+                self._move_count[g] += 1
+                done = done or self._move_count[g] >= self.config.max_moves
+                if done:
+                    completed.append(self._finish(g, env.to_play()))
+                    obs2 = env.reset()
+                    self._obs_hist[g] = 0
+                    self._act_hist[g] = 0
+                    self._move_count[g] = 0
+                else:
+                    self._obs_hist[g, 1:] = self._obs_hist[g, :-1]
+                    self._act_hist[g, 1:] = self._act_hist[g, :-1]
+                    self._act_hist[g, 0] = action[g]
+                self._obs_hist[g, 0] = obs2
+
+        stats = {"env_steps": K * self.G, "max_tree_depth": max_depth_seen,
+                 "pred_values": np.asarray(pv)}
+        return completed, stats
+
+    def _finish(self, g, final_to_play) -> GameHistory:
+        p = self._records[g]
+        gh = GameHistory(
+            observations=np.stack(p["obs"]).astype(np.float32),
+            actions=np.concatenate([[0], p["act"]]).astype(np.int32),
+            rewards=np.concatenate([[0.0], p["rew"]]).astype(np.float32),
+            to_play=np.concatenate([p["tp"], [final_to_play]]).astype(np.int32),
+            child_visits=np.stack(p["cv"]).astype(np.float32),
+            root_values=np.asarray(p["rv"], np.float32),
+        )
+        self._records[g] = self._empty()
+        return gh

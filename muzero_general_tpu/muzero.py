@@ -26,6 +26,7 @@ from muzero_general_tpu import config as config_lib
 from muzero_general_tpu.logger import MetricsLogger
 from muzero_general_tpu.models import MuZeroNetwork
 from muzero_general_tpu.ops.support import support_to_scalar
+from muzero_general_tpu.hostplay import HostSelfPlayDriver
 from muzero_general_tpu.replay import GameHistory, ReplayBuffer
 from muzero_general_tpu.selfplay import SelfPlayDriver
 from muzero_general_tpu.trainer import TrainState, init_train_state, make_optimizer, make_train_step
@@ -119,20 +120,30 @@ class MuZero:
         self.checkpoint["num_played_games"] = replay.num_played_games
         self.checkpoint["num_played_steps"] = replay.num_played_steps
 
+    def _make_driver(self, runner, num_games=None, seed=None):
+        """Device driver for jittable envs, host driver otherwise."""
+        env = self.make_env()
+        if getattr(env, "host_env", False):
+            return HostSelfPlayDriver(
+                self.make_env, runner, self.config, num_games=num_games, seed=seed
+            )
+        return SelfPlayDriver(
+            env, runner, self.config, num_games=num_games, seed=seed
+        )
+
     # ------------------------------------------------------------------
     def train(self, log_in_tensorboard=True):
         """Synchronous actor-learner training (reference muzero.py:132-208)."""
         cfg = self.config
         cfg.results_path.mkdir(parents=True, exist_ok=True)
 
-        env = self.make_env()
         runner = self.runner
         state = self._restore_state()
         train_step = make_train_step(runner, cfg)
 
-        driver = SelfPlayDriver(env, runner, cfg, seed=cfg.seed)
-        test_driver = SelfPlayDriver(
-            env, runner, cfg, num_games=1, seed=cfg.seed + cfg.num_workers
+        driver = self._make_driver(runner, seed=cfg.seed)
+        test_driver = self._make_driver(
+            runner, num_games=1, seed=cfg.seed + cfg.num_workers
         )
 
         if self.replay_buffer_state is not None:
@@ -204,9 +215,20 @@ class MuZero:
                         and replay.buffer
                     ):
                         gid, gh, _ = replay.sample_game(force_uniform=True)
-                        obs = jnp.asarray(replay.reanalyse_observations(gh))
-                        values = reanalyse_fn(self._variables(state), obs)
-                        replay.update_reanalysed_values(gid, np.asarray(values))
+                        obs = replay.reanalyse_observations(gh)
+                        # Pad the position count to a bucket so the jitted
+                        # refresh compiles once per bucket, not per length.
+                        L = obs.shape[0]
+                        pad = min(cfg.max_moves, -(-L // 64) * 64)
+                        obs = np.concatenate(
+                            [obs, np.zeros((pad - L,) + obs.shape[1:], np.float32)]
+                        ) if pad > L else obs
+                        values = reanalyse_fn(
+                            self._variables(state), jnp.asarray(obs)
+                        )
+                        replay.update_reanalysed_values(
+                            gid, np.asarray(values)[:L]
+                        )
                         self.checkpoint["num_reanalysed_games"] += 1
                     if training_step % cfg.checkpoint_interval == 0:
                         for k in ("total_loss", "value_loss", "reward_loss", "policy_loss"):
@@ -224,12 +246,14 @@ class MuZero:
                 self.checkpoint["num_played_steps"] = replay.num_played_steps
                 if logger:
                     logger.log(self.checkpoint)
+                dt = max(1e-9, time.time() - t_start)
                 print(
                     f'Last test reward: {self.checkpoint["total_reward"]:.2f}. '
                     f"Training step: {training_step}/{cfg.training_steps}. "
                     f"Played games: {replay.num_played_games}. "
                     f'Loss: {self.checkpoint["total_loss"]:.2f}. '
-                    f"Env steps/s: {replay.num_played_steps / max(1e-9, time.time() - t_start):.0f}",
+                    f"Train steps/s: {training_step / dt:.1f}. "
+                    f"Env steps/s: {replay.num_played_steps / dt:.0f}",
                     end="\r",
                 )
         except KeyboardInterrupt:
@@ -278,7 +302,7 @@ class MuZero:
                 for i in range(num_tests)
             ]
         else:
-            driver = SelfPlayDriver(env, self.runner, cfg, num_games=1, seed=cfg.seed)
+            driver = self._make_driver(self.runner, num_games=1, seed=cfg.seed)
             results = []
             while len(results) < num_tests:
                 games, _ = driver.play(variables, 0.0)

@@ -278,6 +278,7 @@ def run_mcts(
     rng,
     spec: SearchSpec,
     add_exploration_noise: bool = True,
+    root_outputs=None,
 ) -> MCTSOutput:
     """Run batched MCTS from `observation` [B, ...].
 
@@ -285,11 +286,17 @@ def run_mcts(
     recurrent_fn(hidden, action) -> same tuple
     legal_mask: [B, A] bool — legal root actions.
     to_play: [B] int32 — player to act at each root.
+    root_outputs: optional precomputed (value_logits, reward_logits,
+        policy_logits, hidden) to seed the root instead of initial_fn — the
+        counterpart of the reference's override_root_with
+        (self_play.py:267-277, used by diagnose_model.py:54-72).
     """
     B, A = legal_mask.shape
     N = spec.num_simulations + 1
 
-    value_logits, reward_logits, policy_logits, hidden0 = initial_fn(observation)
+    value_logits, reward_logits, policy_logits, hidden0 = (
+        root_outputs if root_outputs is not None else initial_fn(observation)
+    )
     root_predicted_value = support_to_scalar(value_logits, spec.support_size)
     root_reward = support_to_scalar(reward_logits, spec.support_size)
     prior = masked_softmax(policy_logits, legal_mask)

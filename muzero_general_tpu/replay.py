@@ -73,16 +73,20 @@ def compute_target_values(gh: GameHistory, indices, td_steps, discount):
     boot_vals = np.where(same_player, root_values[boot_c], -root_values[boot_c])
     values = np.where(valid_boot, boot_vals * discount**td_steps, 0.0)
 
-    # Discounted signed rewards r_{index+1} .. r_{min(boot, L)}
-    for i in range(td_steps):
-        r_idx = indices + 1 + i
-        in_range = r_idx <= L
-        r_idx_c = np.clip(r_idx, 0, L)
-        p_idx_c = np.clip(indices + i, 0, L)
-        sign = np.where(gh.to_play[p_idx_c] == gh.to_play[idx_c], 1.0, -1.0)
-        values = values + np.where(
-            in_range, sign * gh.rewards[r_idx_c] * discount**i, 0.0
-        )
+    # Discounted signed rewards r_{index+1} .. r_{min(boot, L)} as one
+    # [K, td_steps] gather (the reference's per-index python loop,
+    # replay_buffer.py:251-261, vectorized).
+    ks = np.arange(td_steps)
+    r_idx = indices[:, None] + 1 + ks[None, :]  # [K, T]
+    in_range = r_idx <= L
+    r_idx_c = np.minimum(r_idx, L)
+    p_idx_c = np.minimum(indices[:, None] + ks[None, :], L)
+    sign = np.where(gh.to_play[p_idx_c] == gh.to_play[idx_c][:, None], 1.0, -1.0)
+    disc = discount ** ks
+    values = values + np.sum(
+        np.where(in_range, sign * gh.rewards[r_idx_c] * disc[None, :], 0.0),
+        axis=1,
+    )
     return values.astype(np.float32)
 
 

@@ -1,0 +1,179 @@
+"""simple_grid / twentyone / gridworld env semantics tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from muzero_general_tpu.envs.gridworld import GridWorld
+from muzero_general_tpu.envs.simple_grid import SimpleGrid
+from muzero_general_tpu.envs.twentyone import TwentyOne
+
+
+class TestSimpleGrid:
+    env = SimpleGrid()
+
+    def test_path_to_goal(self):
+        k = jax.random.PRNGKey(0)
+        s = self.env.reset(k)
+        rewards = []
+        for a in [0, 0, 1, 1]:  # down down right right
+            s, r, d = self.env.step(s, jnp.int32(a), k)
+            rewards.append(float(r))
+        assert rewards == [0, 0, 0, 10.0]
+        assert bool(d)
+
+    def test_border_is_noop_and_masked(self):
+        k = jax.random.PRNGKey(0)
+        s = self.env.reset(k)
+        for _ in range(2):
+            s, _, _ = self.env.step(s, jnp.int32(0), k)  # to bottom row
+        mask = np.asarray(self.env.legal_actions_mask(s))
+        assert not mask[0] and mask[1]
+        s2, r, d = self.env.step(s, jnp.int32(0), k)  # illegal down = no-op
+        assert int(s2.row) == 2 and float(r) == 0
+
+    def test_observation_onehot(self):
+        k = jax.random.PRNGKey(0)
+        s = self.env.reset(k)
+        obs = np.asarray(self.env.observation(s))
+        assert obs.shape == (1, 1, 9)
+        assert obs.sum() == 1 and obs[0, 0, 0] == 1
+
+
+class TestTwentyOne:
+    env = TwentyOne()
+
+    def test_stand_ends_episode(self):
+        k = jax.random.PRNGKey(3)
+        s = self.env.reset(k)
+        s2, r, d = self.env.step(s, jnp.int32(1), jax.random.PRNGKey(4))
+        assert bool(d)
+        assert float(r) in (-10.0, 0.0, 10.0)
+        # dealer drew to > 16 unless... player stood with a small hand
+        assert int(s2.dealer_hand) > 16 or int(s2.player_hand) > 21
+
+    def test_hit_can_bust(self):
+        k = jax.random.PRNGKey(0)
+        s = self.env.reset(k)
+        busted = False
+        for i in range(10):
+            s, r, d = self.env.step(s, jnp.int32(0), jax.random.PRNGKey(i + 10))
+            if bool(d):
+                if int(s.player_hand) > 21:
+                    busted = True
+                    assert float(r) == -10.0
+                break
+        assert bool(d)
+
+    def test_reward_only_at_end(self):
+        # rewards 0 while hitting below 21
+        k = jax.random.PRNGKey(1)
+        s = self.env.reset(k)
+        s2, r, d = self.env.step(s, jnp.int32(0), jax.random.PRNGKey(2))
+        if not bool(d):
+            assert float(r) == 0.0
+
+    def test_vmapped_stochasticity(self):
+        """Different lanes draw different cards (stochastic seam, SURVEY §7)."""
+        keys = jax.random.split(jax.random.PRNGKey(0), 32)
+        states = jax.vmap(self.env.reset)(keys)
+        hands = np.asarray(states.player_hand)
+        assert len(np.unique(hands)) > 1
+
+
+class TestGridWorld:
+    env = GridWorld()
+
+    def test_reset_positions_random_inner(self):
+        xs, ys, ds = set(), set(), set()
+        for i in range(40):
+            s = self.env.reset(jax.random.PRNGKey(i))
+            x, y = int(s.x), int(s.y)
+            assert 1 <= x <= 4 and 1 <= y <= 4
+            assert not (x == 4 and y == 4)  # never on the goal
+            xs.add(x), ys.add(y), ds.add(int(s.dir))
+        assert len(xs) > 1 and len(ds) > 1
+
+    def test_turn_and_forward(self):
+        s = self.env.reset(jax.random.PRNGKey(1))
+        k = jax.random.PRNGKey(0)
+        d0 = int(s.dir)
+        s1, _, _ = self.env.step(s, jnp.int32(0), k)
+        assert int(s1.dir) == (d0 - 1) % 4
+        s2, _, _ = self.env.step(s, jnp.int32(1), k)
+        assert int(s2.dir) == (d0 + 1) % 4
+
+    def test_goal_reward_formula(self):
+        from muzero_general_tpu.envs.gridworld import GridWorldState, MAX_STEPS
+
+        s = GridWorldState(
+            x=jnp.int32(3), y=jnp.int32(4), dir=jnp.int32(0),
+            steps=jnp.int32(5), done=jnp.bool_(False),
+        )
+        s2, r, d = self.env.step(s, jnp.int32(2), jax.random.PRNGKey(0))
+        assert bool(d)
+        assert float(r) == np.float32(1.0 - 0.9 * 6 / MAX_STEPS)
+
+    def test_observation_encoding(self):
+        from muzero_general_tpu.envs.gridworld import GridWorldState
+
+        # Agent at (1,1) facing right: sees the east wall ahead at distance 4
+        s = GridWorldState(
+            x=jnp.int32(1), y=jnp.int32(1), dir=jnp.int32(0),
+            steps=jnp.int32(0), done=jnp.bool_(False),
+        )
+        obs = np.asarray(self.env.observation(s))
+        assert obs.shape == (7, 7, 3)
+        # agent's own cell (view col 3, row 6) is empty floor
+        assert obs[3, 6, 0] == 1
+        # goal somewhere in view when looking toward it
+        s2 = GridWorldState(
+            x=jnp.int32(1), y=jnp.int32(4), dir=jnp.int32(0),
+            steps=jnp.int32(0), done=jnp.bool_(False),
+        )
+        obs2 = np.asarray(self.env.observation(s2))
+        assert (obs2[:, :, 0] == 8).any()
+
+
+def test_host_lunarlander_smoke():
+    import pytest
+
+    gymnasium = pytest.importorskip("gymnasium")
+    from muzero_general_tpu.envs.host import LunarLander
+
+    env = LunarLander(seed=0)
+    obs = env.reset()
+    assert obs.shape == (1, 1, 8)
+    obs, r, d = env.step(2)
+    assert obs.shape == (1, 1, 8)
+    assert isinstance(r, float)
+    env.close()
+
+
+def test_hostplay_driver_with_lunarlander():
+    import pytest
+
+    pytest.importorskip("gymnasium")
+    from muzero_general_tpu.games.lunarlander import MuZeroConfig, make_env
+    from muzero_general_tpu.hostplay import HostSelfPlayDriver
+    from muzero_general_tpu.models import MuZeroNetwork
+
+    cfg = MuZeroConfig()
+    cfg.num_simulations = 4
+    cfg.parallel_games = 2
+    cfg.selfplay_chunk_moves = 3
+    cfg.max_moves = 5  # force quick cuts
+    runner = MuZeroNetwork(cfg)
+    variables = runner.init(jax.random.PRNGKey(0))
+    driver = HostSelfPlayDriver(make_env, runner, cfg, seed=0)
+    completed = []
+    for _ in range(4):
+        games, stats = driver.play(variables, temperature=1.0)
+        completed.extend(games)
+    assert completed
+    for gh in completed:
+        L = len(gh)
+        assert 0 < L <= 5
+        assert gh.actions.shape == (L + 1,)
+        assert gh.observations.shape == (L, 1, 1, 8)
+        np.testing.assert_allclose(gh.child_visits.sum(-1), 1.0, atol=1e-5)
