@@ -118,6 +118,9 @@ class MuZeroConfig:
         # Reanalyse cadence: refresh one buffered game every N training steps
         # (the reference runs reanalyse as a free-running actor; we schedule it).
         self.reanalyse_interval = 20
+        # Optional jax.profiler trace: directory to write a device trace of
+        # training-loop iterations 20-25 (None = off).
+        self.profile_dir = None
 
     def visit_softmax_temperature_fn(self, trained_steps):
         """Temperature schedule (reference games/cartpole.py:115-128)."""

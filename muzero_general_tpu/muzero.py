@@ -174,19 +174,39 @@ class MuZero:
             f"\nTraining {self.game_name} on {jax.devices()[0].platform} "
             f"({len(jax.devices())} device(s))...\n"
         )
+        # Cooperative shutdown: the reference polls a `terminate` flag in
+        # SharedStorage (muzero.py:352-353); here `touch <results_path>/STOP`
+        # requests a graceful exit with a final checkpoint.
+        stop_file = cfg.results_path / "STOP"
         t_start = time.time()
+        # Per-phase wall-clock accounting (SURVEY.md §5.1: first-class step
+        # timing the reference lacks) — written to metrics.jsonl.
+        phase_time = {"selfplay": 0.0, "test": 0.0, "train": 0.0,
+                      "reanalyse": 0.0, "batch": 0.0}
+        loop_counter = 0
         try:
             while training_step < cfg.training_steps:
+                if self.checkpoint["terminate"] or stop_file.exists():
+                    break
+                loop_counter += 1
+                if cfg.profile_dir and loop_counter == 20:
+                    jax.profiler.start_trace(str(cfg.profile_dir))
+                if cfg.profile_dir and loop_counter == 25:
+                    jax.profiler.stop_trace()
                 variables = self._variables(state)
                 temperature = cfg.visit_softmax_temperature_fn(training_step)
 
                 # ---- self-play chunk (all G lanes advance K moves) -------
+                t0 = time.time()
                 games, stats = driver.play(variables, temperature)
+                phase_time["selfplay"] += time.time() - t0
                 for gh in games:
                     replay.save_game(gh)
 
                 # ---- evaluation lane (greedy, reference test_mode) -------
+                t0 = time.time()
                 test_games, _ = test_driver.play(variables, 0.0)
+                phase_time["test"] += time.time() - t0
                 for gh in test_games:
                     self.checkpoint["total_reward"] = float(gh.rewards.sum())
                     self.checkpoint["episode_length"] = len(gh)
@@ -203,12 +223,17 @@ class MuZero:
                     cfg.training_steps, int(ratio * replay.num_played_steps)
                 )
                 while training_step < target and replay.buffer:
+                    t0 = time.time()
                     index_batch, batch = replay.get_batch()
                     batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                    phase_time["batch"] += time.time() - t0
+                    t0 = time.time()
                     state, metrics, priorities = train_step(state, batch)
                     training_step += 1
                     if cfg.PER:
                         replay.update_priorities(np.asarray(priorities), index_batch)
+                    phase_time["train"] += time.time() - t0
+                    t0 = time.time()
                     if (
                         cfg.use_last_model_value
                         and training_step % self.config.reanalyse_interval == 0
@@ -230,6 +255,7 @@ class MuZero:
                             gid, np.asarray(values)[:L]
                         )
                         self.checkpoint["num_reanalysed_games"] += 1
+                    phase_time["reanalyse"] += time.time() - t0
                     if training_step % cfg.checkpoint_interval == 0:
                         for k in ("total_loss", "value_loss", "reward_loss", "policy_loss"):
                             self.checkpoint[k] = float(metrics[k])
@@ -246,6 +272,10 @@ class MuZero:
                 self.checkpoint["num_played_steps"] = replay.num_played_steps
                 if logger:
                     logger.log(self.checkpoint)
+                    if loop_counter % 20 == 0:
+                        logger._jsonl.write(
+                            json.dumps({"phase_time_s": phase_time}) + "\n"
+                        )
                 dt = max(1e-9, time.time() - t_start)
                 print(
                     f'Last test reward: {self.checkpoint["total_reward"]:.2f}. '

@@ -25,6 +25,12 @@ import numpy as np
 from muzero_general_tpu.ops.stacking import stack_observations_np
 
 
+def _native():
+    from muzero_general_tpu.native import get_replay_native
+
+    return get_replay_native()
+
+
 @dataclass
 class GameHistory:
     """One completed episode as numpy arrays.
@@ -177,15 +183,19 @@ class ReplayBuffer:
 
     def sample_position(self, gh: GameHistory, force_uniform=False):
         if self.config.PER and not force_uniform:
-            probs = gh.priorities / gh.priorities.sum()
-            pos = self.rng.choice(len(probs), p=probs)
-            return pos, probs[pos]
+            cumsum = np.cumsum(gh.priorities, dtype=np.float64)
+            total = cumsum[-1]
+            pos = int(np.searchsorted(cumsum, self.rng.random() * total))
+            pos = min(pos, len(gh) - 1)
+            return pos, gh.priorities[pos] / total
         return self.rng.integers(0, len(gh)), np.nan
 
     # ------------------------------------------------------------------
-    def get_batch(self):
+    def get_batch(self, use_native: bool = True):
         """Assemble one training batch (reference replay_buffer.py:70-138).
 
+        Uses the C++ assembler (native/replay_sampler.cpp) when available;
+        the numpy path below is the behavioral reference for it.
         Returns (index_batch [B,2], batch dict of numpy arrays).
         """
         cfg = self.config
@@ -193,9 +203,9 @@ class ReplayBuffer:
         U = cfg.num_unroll_steps
         A = len(cfg.action_space)
         n = cfg.stacked_observations
+        c, h, w = cfg.observation_shape
 
         game_ids, game_probs = self.sample_n_games(B)
-        obs_batch = []
         index_batch = np.zeros((B, 2), np.int64)
         actions = np.zeros((B, U + 1), np.int32)
         values = np.zeros((B, U + 1), np.float32)
@@ -204,27 +214,60 @@ class ReplayBuffer:
         grad_scale = np.zeros((B, U + 1), np.float32)
         weights = np.ones((B,), np.float32)
 
+        sampled = []
         for i, gid in enumerate(game_ids):
             gh = self.buffer[int(gid)]
             pos, pos_prob = self.sample_position(gh)
-            v, r, p, a = make_target(gh, pos, U, cfg.td_steps, cfg.discount, A, self.rng)
             index_batch[i] = (gid, pos)
-            obs_batch.append(
-                stack_observations_np(gh.observations, gh.actions, pos, n, A)
-            )
-            actions[i], values[i], rewards[i], policies[i] = a, v, r, p
-            # len(action_history) - pos = (L+1) - pos (replay_buffer.py:103-111)
-            grad_scale[i] = min(U, len(gh) + 1 - pos)
+            sampled.append((gh, pos))
             if cfg.PER:
                 weights[i] = 1.0 / (
                     self.total_samples * game_probs[i] * pos_prob
                 )
 
+        native = _native() if use_native else None
+        if native is not None:
+            obs_out = np.zeros((B, c * (n + 1) + n, h, w), np.float32)
+            rnd = self.rng.integers(0, A, (B, U + 1)).astype(np.int32)
+            rv = [
+                (
+                    gh.root_values
+                    if gh.reanalysed_predicted_root_values is None
+                    else gh.reanalysed_predicted_root_values
+                )
+                for gh, _ in sampled
+            ]
+            native.assemble_batch(
+                [gh.observations for gh, _ in sampled],
+                [gh.actions for gh, _ in sampled],
+                [gh.rewards for gh, _ in sampled],
+                [gh.to_play for gh, _ in sampled],
+                [gh.child_visits for gh, _ in sampled],
+                rv,
+                np.array([p for _, p in sampled], np.int32),
+                rnd,
+                U, cfg.td_steps, float(cfg.discount), A, n, c, h, w,
+                obs_out, actions, values, rewards, policies, grad_scale,
+            )
+        else:
+            obs_batch = []
+            for i, (gh, pos) in enumerate(sampled):
+                v, r, p, a = make_target(
+                    gh, pos, U, cfg.td_steps, cfg.discount, A, self.rng
+                )
+                obs_batch.append(
+                    stack_observations_np(gh.observations, gh.actions, pos, n, A)
+                )
+                actions[i], values[i], rewards[i], policies[i] = a, v, r, p
+                # len(action_history) - pos (replay_buffer.py:103-111)
+                grad_scale[i] = min(U, len(gh) + 1 - pos)
+            obs_out = np.stack(obs_batch).astype(np.float32)
+
         if cfg.PER:
             weights = (weights / weights.max()).astype(np.float32)
 
         batch = {
-            "observation": np.stack(obs_batch).astype(np.float32),
+            "observation": obs_out,
             "action": actions,
             "target_value": values,
             "target_reward": rewards,

@@ -89,6 +89,7 @@ def test_priorities_and_sampling():
     from muzero_general_tpu.replay import ReplayBuffer
 
     cfg = MuZeroConfig()
+    cfg.observation_shape = (1, 1, 2)
     cfg.replay_buffer_size = 3
     cfg.batch_size = 16
     cfg.num_unroll_steps = 4
