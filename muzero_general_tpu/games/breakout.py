@@ -80,4 +80,11 @@ class MuZeroConfig(config_lib.MuZeroConfig):
 
 
 def make_env(seed=None):
-    return AtariBreakout(seed=seed)
+    """ALE Breakout when ale-py is installed (reference parity), else the
+    fully on-device JAX Breakout (envs/breakout_jax.py)."""
+    try:
+        return AtariBreakout(seed=seed)
+    except ImportError:
+        from muzero_general_tpu.envs.breakout_jax import BreakoutJax
+
+        return BreakoutJax()
