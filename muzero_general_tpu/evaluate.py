@@ -41,24 +41,72 @@ def play_against_opponent(env, runner, config, variables, opponent, muzero_playe
     search = _mcts_policy_fn(runner, config, variables)
     A = env.num_actions
     n = config.stacked_observations
+    is_host = getattr(env, "host_env", False)
 
     rng, k = jax.random.split(rng)
-    state = env.reset(k)
-    obs_list = [np.asarray(env.observation(state))]
-    actions, rewards, to_plays = [0], [0.0], [int(env.to_play(state))]
+    if is_host:
+        obs0 = env.reset()
+
+        class _H:  # uniform accessors over both env protocols
+            legal = staticmethod(lambda: np.asarray(env.legal_actions_mask()))
+            to_play = staticmethod(lambda: int(env.to_play()))
+            render = staticmethod(lambda: env.render())
+
+            @staticmethod
+            def step(a, key):
+                return env.step(a)
+
+            @staticmethod
+            def expert(key):
+                return env.expert_action(np_rng)
+
+            @staticmethod
+            def human():
+                return int(input(f"Enter action (0-{A - 1}): "))
+
+        acc = _H
+    else:
+        _state = [env.reset(k)]
+        obs0 = np.asarray(env.observation(_state[0]))
+
+        class _J:
+            legal = staticmethod(
+                lambda: np.asarray(env.legal_actions_mask(_state[0]))
+            )
+            to_play = staticmethod(lambda: int(env.to_play(_state[0])))
+            render = staticmethod(lambda: env.render(_state[0]))
+
+            @staticmethod
+            def step(a, key):
+                s, r, d = env.step(_state[0], jnp.int32(a), key)
+                _state[0] = s
+                return np.asarray(env.observation(s)), float(r), bool(d)
+
+            @staticmethod
+            def expert(key):
+                return int(env.expert_action(_state[0], key))
+
+            @staticmethod
+            def human():
+                return int(env.human_to_action(_state[0]))
+
+        acc = _J
+
+    obs_list = [np.asarray(obs0)]
+    actions, rewards, to_plays = [0], [0.0], [acc.to_play()]
     child_visits, root_values = [], []
     done = False
 
     if render:
-        env.render(state)
+        acc.render()
 
     while not done and len(actions) <= config.max_moves:
         observations = np.stack(obs_list)
         stacked = stack_observations_np(
             observations, np.asarray(actions, np.int64), len(obs_list) - 1, n, A
         )[None]
-        legal = np.asarray(env.legal_actions_mask(state))[None]
-        to_play = int(env.to_play(state))
+        legal = acc.legal()[None]
+        to_play = acc.to_play()
 
         if opponent == "self" or to_play == muzero_player or len(config.players) == 1:
             rng, k = jax.random.split(rng)
@@ -79,9 +127,9 @@ def play_against_opponent(env, runner, config, variables, opponent, muzero_playe
                 action = int(np_rng.choice(legal_idx))
             elif opponent == "expert":
                 rng, k = jax.random.split(rng)
-                action = int(env.expert_action(state, k))
+                action = int(acc.expert(k))
             elif opponent == "human":
-                action = int(env.human_to_action(state))
+                action = acc.human()
             else:
                 raise NotImplementedError(
                     '"opponent" argument should be "self", "human", "expert" or "random"'
@@ -90,16 +138,16 @@ def play_against_opponent(env, runner, config, variables, opponent, muzero_playe
             root_values.append(0.0)
 
         rng, k = jax.random.split(rng)
-        state, reward, done = env.step(state, jnp.int32(action), k)
+        obs, reward, done = acc.step(action, k)
         done = bool(done)
         if render:
             print(f"Played action: {env.action_to_string(action)}")
-            env.render(state)
+            acc.render()
 
-        obs_list.append(np.asarray(env.observation(state)))
+        obs_list.append(np.asarray(obs))
         actions.append(action)
         rewards.append(float(reward))
-        to_plays.append(int(env.to_play(state)))
+        to_plays.append(acc.to_play())
 
     return GameHistory(
         observations=np.stack(obs_list[:-1]).astype(np.float32),
@@ -113,17 +161,28 @@ def play_against_opponent(env, runner, config, variables, opponent, muzero_playe
 
 def manual_game(env, seed=0):
     """Play the env by hand (reference CLI menu 'Test the game manually')."""
-    rng = jax.random.PRNGKey(seed)
-    rng, k = jax.random.split(rng)
-    state = env.reset(k)
-    env.render(state)
-    done = False
     total = 0.0
-    while not done:
-        action = env.human_to_action(state)
+    if getattr(env, "host_env", False):
+        env.reset()
+        env.render()
+        done = False
+        while not done:
+            action = int(input(f"Enter action (0-{env.num_actions - 1}): "))
+            _, reward, done = env.step(action)
+            total += float(reward)
+            print(f"Reward: {float(reward)}")
+            env.render()
+    else:
+        rng = jax.random.PRNGKey(seed)
         rng, k = jax.random.split(rng)
-        state, reward, done = env.step(state, jnp.int32(action), k)
-        total += float(reward)
-        print(f"Reward: {float(reward)}")
+        state = env.reset(k)
         env.render(state)
+        done = False
+        while not done:
+            action = env.human_to_action(state)
+            rng, k = jax.random.split(rng)
+            state, reward, done = env.step(state, jnp.int32(action), k)
+            total += float(reward)
+            print(f"Reward: {float(reward)}")
+            env.render(state)
     print(f"Total reward: {total}")
