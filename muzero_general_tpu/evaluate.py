@@ -16,18 +16,27 @@ from muzero_general_tpu.ops.stacking import stack_observations_np
 from muzero_general_tpu.replay import GameHistory
 
 
+_search_cache = {}
+
+
 def _mcts_policy_fn(runner, config, variables):
+    """B=1 search closure; the jitted core is cached per (runner, sims) so
+    repeated evaluations don't re-trace."""
     spec = mcts_ops.SearchSpec.from_config(config)
+    key = (id(runner), spec)
+    if key not in _search_cache:
 
-    @jax.jit
-    def search(obs, legal, to_play, rng):
-        return mcts_ops.run_mcts(
-            lambda o: runner.initial_inference(variables, o),
-            lambda h, a: runner.recurrent_inference(variables, h, a),
-            obs, legal, to_play, rng, spec, add_exploration_noise=True,
-        )
+        @jax.jit
+        def search_core(variables, obs, legal, to_play, rng):
+            return mcts_ops.run_mcts(
+                lambda o: runner.initial_inference(variables, o),
+                lambda h, a: runner.recurrent_inference(variables, h, a),
+                obs, legal, to_play, rng, spec, add_exploration_noise=True,
+            )
 
-    return search
+        _search_cache[key] = search_core
+    core = _search_cache[key]
+    return lambda obs, legal, to_play, rng: core(variables, obs, legal, to_play, rng)
 
 
 def play_against_opponent(env, runner, config, variables, opponent, muzero_player,

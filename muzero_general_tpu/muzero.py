@@ -142,8 +142,13 @@ class MuZero:
         train_step = make_train_step(runner, cfg)
 
         driver = self._make_driver(runner, seed=cfg.seed)
-        test_driver = self._make_driver(
-            runner, num_games=1, seed=cfg.seed + cfg.num_workers
+        needs_self_test_lane = not (
+            len(cfg.players) > 1 and cfg.opponent not in (None, "self")
+        )
+        test_driver = (
+            self._make_driver(runner, num_games=1, seed=cfg.seed + cfg.num_workers)
+            if needs_self_test_lane
+            else None
         )
 
         if self.replay_buffer_state is not None:
@@ -204,8 +209,32 @@ class MuZero:
                     replay.save_game(gh)
 
                 # ---- evaluation lane (greedy, reference test_mode) -------
+                # 1-player (or opponent="self"): a continuous greedy lane.
+                # 2-player with a scripted opponent: a full game vs
+                # config.opponent every few loops (reference self_play.py:54-60
+                # plays vs config.opponent in test mode).
                 t0 = time.time()
-                test_games, _ = test_driver.play(variables, 0.0)
+                use_opponent = (
+                    len(cfg.players) > 1
+                    and cfg.opponent not in (None, "self")
+                    and cfg.opponent != "human"
+                )
+                if use_opponent:
+                    test_games = []
+                    if loop_counter % 4 == 1:
+                        from muzero_general_tpu.evaluate import (
+                            play_against_opponent,
+                        )
+
+                        test_games = [
+                            play_against_opponent(
+                                self.make_env(), runner, cfg, variables,
+                                cfg.opponent, cfg.muzero_player,
+                                seed=cfg.seed + cfg.num_workers + loop_counter,
+                            )
+                        ]
+                else:
+                    test_games, _ = test_driver.play(variables, 0.0)
                 phase_time["test"] += time.time() - t0
                 for gh in test_games:
                     self.checkpoint["total_reward"] = float(gh.rewards.sum())
