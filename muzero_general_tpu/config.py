@@ -121,6 +121,9 @@ class MuZeroConfig:
         # Optional jax.profiler trace: directory to write a device trace of
         # training-loop iterations 20-25 (None = off).
         self.profile_dir = None
+        # Train steps fused into one device dispatch (scan) — amortizes
+        # dispatch latency to a remote/tunneled chip. 1 disables fusion.
+        self.fused_train_steps = 8
 
     def visit_softmax_temperature_fn(self, trained_steps):
         """Temperature schedule (reference games/cartpole.py:115-128)."""

@@ -29,7 +29,13 @@ from muzero_general_tpu.ops.support import support_to_scalar
 from muzero_general_tpu.hostplay import HostSelfPlayDriver
 from muzero_general_tpu.replay import GameHistory, ReplayBuffer
 from muzero_general_tpu.selfplay import SelfPlayDriver
-from muzero_general_tpu.trainer import TrainState, init_train_state, make_optimizer, make_train_step
+from muzero_general_tpu.trainer import (
+    TrainState,
+    init_train_state,
+    make_fused_train_steps,
+    make_optimizer,
+    make_train_step,
+)
 
 
 def two_player_reward_split(gh: GameHistory, muzero_player: int):
@@ -140,6 +146,11 @@ class MuZero:
         runner = self.runner
         state = self._restore_state()
         train_step = make_train_step(runner, cfg)
+        fused_train = (
+            make_fused_train_steps(runner, cfg)
+            if cfg.fused_train_steps and cfg.fused_train_steps > 1
+            else None
+        )
 
         driver = self._make_driver(runner, seed=cfg.seed)
         needs_self_test_lane = not (
@@ -233,8 +244,12 @@ class MuZero:
                                 seed=cfg.seed + cfg.num_workers + loop_counter,
                             )
                         ]
-                else:
+                elif loop_counter % 4 == 1:
+                    # The G=1 greedy lane costs as much device time per move
+                    # as the whole G-lane chunk; sample it every 4th loop.
                     test_games, _ = test_driver.play(variables, 0.0)
+                else:
+                    test_games = []
                 phase_time["test"] += time.time() - t0
                 for gh in test_games:
                     self.checkpoint["total_reward"] = float(gh.rewards.sum())
@@ -251,21 +266,52 @@ class MuZero:
                 target = min(
                     cfg.training_steps, int(ratio * replay.num_played_steps)
                 )
+                pending_priorities = []
+                M = max(1, int(cfg.fused_train_steps))
                 while training_step < target and replay.buffer:
                     t0 = time.time()
-                    index_batch, batch = replay.get_batch()
-                    batch = {k: jnp.asarray(v) for k, v in batch.items()}
-                    phase_time["batch"] += time.time() - t0
-                    t0 = time.time()
-                    state, metrics, priorities = train_step(state, batch)
-                    training_step += 1
-                    if cfg.PER:
-                        replay.update_priorities(np.asarray(priorities), index_batch)
+                    prev_step = training_step
+                    if fused_train is not None and target - training_step >= M > 1:
+                        # Fused path: M batches, ONE device dispatch.
+                        parts = [replay.get_batch() for _ in range(M)]
+                        index_batches = [ib for ib, _ in parts]
+                        batches = {
+                            k: jnp.asarray(
+                                np.stack([b[k] for _, b in parts])
+                            )
+                            for k in parts[0][1]
+                        }
+                        phase_time["batch"] += time.time() - t0
+                        t0 = time.time()
+                        state, metrics, priorities_m = fused_train(state, batches)
+                        training_step += M
+                        if cfg.PER:
+                            pending_priorities.append(
+                                (priorities_m, index_batches)
+                            )
+                    else:
+                        index_batch, batch = replay.get_batch()
+                        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                        phase_time["batch"] += time.time() - t0
+                        t0 = time.time()
+                        state, metrics, priorities = train_step(state, batch)
+                        training_step += 1
+                        if cfg.PER:
+                            pending_priorities.append(
+                                (priorities[None], [index_batch])
+                            )
+                    if cfg.PER and len(pending_priorities) >= 4:
+                        for pr, ibs in pending_priorities:
+                            pr = np.asarray(pr)
+                            for m, ib in enumerate(ibs):
+                                replay.update_priorities(pr[m], ib)
+                        pending_priorities.clear()
                     phase_time["train"] += time.time() - t0
                     t0 = time.time()
                     if (
                         cfg.use_last_model_value
-                        and training_step % self.config.reanalyse_interval == 0
+                        and (training_step // cfg.reanalyse_interval)
+                        > (prev_step // cfg.reanalyse_interval)
                         and replay.buffer
                     ):
                         gid, gh, _ = replay.sample_game(force_uniform=True)
@@ -285,7 +331,9 @@ class MuZero:
                         )
                         self.checkpoint["num_reanalysed_games"] += 1
                     phase_time["reanalyse"] += time.time() - t0
-                    if training_step % cfg.checkpoint_interval == 0:
+                    if (training_step // cfg.checkpoint_interval) > (
+                        prev_step // cfg.checkpoint_interval
+                    ):
                         for k in ("total_loss", "value_loss", "reward_loss", "policy_loss"):
                             self.checkpoint[k] = float(metrics[k])
                         self.checkpoint["lr"] = float(metrics["lr"])
@@ -295,6 +343,11 @@ class MuZero:
                             ckpt_lib.save_checkpoint(
                                 self.checkpoint, cfg.results_path / "model.checkpoint"
                             )
+                if cfg.PER:
+                    for pr, ibs in pending_priorities:
+                        pr = np.asarray(pr)
+                        for m, ib in enumerate(ibs):
+                            replay.update_priorities(pr[m], ib)
 
                 self.checkpoint["training_step"] = training_step
                 self.checkpoint["num_played_games"] = replay.num_played_games

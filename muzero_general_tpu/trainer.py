@@ -214,3 +214,26 @@ def make_train_step(runner, config, donate=True, jit=True):
     if donate:
         return jax.jit(train_step, donate_argnums=(0,))
     return jax.jit(train_step)
+
+
+def make_fused_train_steps(runner, config, donate=True):
+    """Train M batches in ONE dispatch: lax.scan of the train step.
+
+    Amortizes host->device dispatch latency (decisive when the chip sits
+    behind a network tunnel). batches: dict of arrays with leading axis M.
+    Returns (state, metrics of the LAST step, priorities [M, B, U+1]).
+    """
+    step = make_train_step(runner, config, jit=False)
+
+    def train_steps(state, batches):
+        def body(state, batch):
+            state, metrics, priorities = step(state, batch)
+            return state, (metrics, priorities)
+
+        state, (metrics, priorities) = jax.lax.scan(body, state, batches)
+        last_metrics = {k: v[-1] for k, v in metrics.items()}
+        return state, last_metrics, priorities
+
+    if donate:
+        return jax.jit(train_steps, donate_argnums=(0,))
+    return jax.jit(train_steps)
