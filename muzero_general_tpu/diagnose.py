@@ -291,5 +291,7 @@ class DiagnoseModel:
         try:
             graph.render(filename, view=plot, cleanup=True, format="pdf")
         except Exception as e:  # dot binary may be missing
-            print(f"graphviz render failed ({e}); source kept in memory.")
+            with open(f"{filename}.gv", "w") as f:
+                f.write(graph.source)
+            print(f"graphviz render failed ({e}); DOT source saved to {filename}.gv")
         return graph
