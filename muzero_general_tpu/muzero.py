@@ -433,6 +433,13 @@ class MuZero:
         return result
 
     # ------------------------------------------------------------------
+    def terminate_workers(self):
+        """API parity with reference muzero.py:348-367. The synchronous TPU
+        build has no detached workers; training stops cooperatively via the
+        `terminate` flag or the STOP file in results_path."""
+        self.checkpoint["terminate"] = True
+
+    # ------------------------------------------------------------------
     def load_model(self, checkpoint_path=None, replay_buffer_path=None):
         """Restore checkpoint and optionally the replay buffer
         (reference muzero.py:426-464)."""

@@ -47,6 +47,11 @@ class SearchSpec(NamedTuple):
     # random choice among ties, for exact equivalence against a sequential
     # oracle. Production default False (= reference self_play.py:371-377).
     deterministic_tie_break: bool = False
+    # Fused Pallas descend/backprop kernels (ops/mcts_pallas.py); only for
+    # tree sizes that fit VMEM. pallas_interpret runs them in interpreter
+    # mode (CPU tests).
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @classmethod
     def from_config(cls, config):
@@ -155,6 +160,36 @@ def _simulate_once(tree: Tree, sim, rng, spec: SearchSpec, recurrent_fn, root_to
     b_idx = jnp.arange(B)
     new_node = sim + 1
 
+    if spec.use_pallas:
+        from muzero_general_tpu.ops import mcts_pallas
+
+        seed = jax.random.randint(rng, (), 0, 2**31 - 1)
+        parent, action, leaf_depth, path = mcts_pallas.descend(
+            seed,
+            tree.visit_count,
+            tree.value_sum,
+            tree.reward,
+            tree.children_index,
+            tree.children_prior,
+            tree.root_legal,
+            tree.min_value,
+            tree.max_value,
+            num_players=spec.num_players,
+            pb_c_base=spec.pb_c_base,
+            pb_c_init=spec.pb_c_init,
+            discount=spec.discount,
+            A=tree.root_legal.shape[1],
+            max_depth=spec.max_depth,
+            tie_jitter=0.0 if spec.deterministic_tie_break else mcts_pallas.TIE_JITTER,
+            interpret=spec.pallas_interpret,
+        )
+        path = path.at[b_idx, leaf_depth].set(new_node)
+        vt_leaf = (root_to_play + leaf_depth) % spec.num_players
+        return _expand_and_backprop(
+            tree, sim, spec, recurrent_fn, parent, action, path, leaf_depth,
+            vt_leaf,
+        )
+
     # ---- Descent: follow max-UCB edges until an unexpanded edge ----------
     # path[b, t] = node visited at depth t (root = depth 0); -1 padding.
     path0 = jnp.full((B, spec.max_depth + 1), -1, jnp.int32).at[:, 0].set(0)
@@ -195,6 +230,19 @@ def _simulate_once(tree: Tree, sim, rng, spec: SearchSpec, recurrent_fn, root_to
 
     # virtual_to_play advances one player per edge (self_play.py:330-334).
     vt_leaf = (root_to_play + leaf_depth) % spec.num_players
+    return _expand_and_backprop(
+        tree, sim, spec, recurrent_fn, parent, action, path, leaf_depth, vt_leaf
+    )
+
+
+def _expand_and_backprop(
+    tree: Tree, sim, spec: SearchSpec, recurrent_fn, parent, action, path,
+    leaf_depth, vt_leaf,
+):
+    """Shared tail of one simulation: expand node sim+1, backpropagate."""
+    B = tree.visit_count.shape[0]
+    b_idx = jnp.arange(B)
+    new_node = sim + 1
 
     # ---- Expansion: one batched recurrent inference ----------------------
     parent_hidden = tree.hidden[b_idx, parent]
@@ -215,6 +263,20 @@ def _simulate_once(tree: Tree, sim, rng, spec: SearchSpec, recurrent_fn, root_to
     )
 
     # ---- Backpropagation (self_play.py:406-430) --------------------------
+    if spec.use_pallas:
+        from muzero_general_tpu.ops import mcts_pallas
+
+        visit, vsum, mn, mx = mcts_pallas.backprop(
+            path, leaf_depth, leaf_value, vt_leaf, tree.to_play, tree.reward,
+            tree.visit_count, tree.value_sum, tree.min_value, tree.max_value,
+            num_players=spec.num_players, discount=spec.discount,
+            interpret=spec.pallas_interpret,
+        )
+        tree = tree._replace(
+            visit_count=visit, value_sum=vsum, min_value=mn, max_value=mx
+        )
+        return tree, leaf_depth
+
     # Walk leaf -> root with a while_loop that exits once every lane has
     # passed its root: iterations = max real path length over the batch,
     # not the static worst case (typical tree depth ≪ num_simulations).

@@ -1,0 +1,329 @@
+"""Pallas-fused MCTS phases: in-VMEM descend and backprop kernels.
+
+The XLA search (ops/mcts.py) is bound by per-op sequencing overhead inside
+its while/fori loops (~dozens of small gathers per tree level). These
+kernels run the whole descent (root -> unexpanded edge) and the whole
+backpropagation as ONE kernel launch each, with the tree arrays resident in
+VMEM and the loop iterations costing VPU vector ops only.
+
+Scope: tree sizes that fit VMEM — B*(N*(3+2A)+A) * 4 bytes ≲ a few MB
+(true for all FC-net games; big-board games keep the XLA path). Semantics
+match ops/mcts.py except tie-breaking: a tiny uniform jitter on the pUCT
+scores replaces the categorical draw among exact ties — argmax over iid
+jitter on equal scores is still a uniform choice among them
+(reference self_play.py:371-377), while unequal scores are perturbed by
+≤1e-5 of scale.
+
+Used by SelfPlayDriver when `config.use_pallas_mcts` and shapes allow.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TIE_JITTER = 1e-5
+
+
+def _descend_kernel(
+    seed_ref,  # [1] int32 (SMEM)
+    visit_ref,  # [B, N] i32
+    value_sum_ref,  # [B, N] f32
+    reward_ref,  # [B, N] f32
+    child_index_ref,  # [B, N*A] i32
+    child_prior_ref,  # [B, N*A] f32
+    root_legal_ref,  # [B, A] bool->i32
+    min_ref,  # [B, 1] f32
+    max_ref,  # [B, 1] f32
+    parent_ref,  # out [B, 1] i32
+    action_ref,  # out [B, 1] i32
+    depth_ref,  # out [B, 1] i32  (edges to the new leaf)
+    path_ref,  # out [B, D] i32  (path node at depth t; -1 padded)
+    *,
+    num_players: int,
+    pb_c_base: float,
+    pb_c_init: float,
+    discount: float,
+    A: int,
+    max_depth: int,
+    tie_jitter: float,
+):
+    B = visit_ref.shape[0]
+    if tie_jitter > 0:  # PRNG only on the real TPU path (no interpret impl)
+        pltpu.prng_seed(seed_ref[0])
+
+    visit = visit_ref[:]
+    value_sum = value_sum_ref[:]
+    reward = reward_ref[:]
+    child_index = child_index_ref[:]  # [B, N*A]
+    child_prior = child_prior_ref[:]
+    legal = root_legal_ref[:] != 0  # [B, A]
+    mn = min_ref[:]  # [B, 1]
+    mx = max_ref[:]
+    span_ok = mx > mn
+    inv_span = 1.0 / jnp.maximum(mx - mn, 1e-30)
+
+    sign = 1.0 if num_players == 1 else -1.0
+    D = path_ref.shape[1]
+
+    def take_node(arr, node):
+        """arr [B, N] gathered at per-row node -> [B, 1]."""
+        return jnp.take_along_axis(arr, node[:, None], axis=1)
+
+    def take_edges(arr, node):
+        """arr [B, N*A] -> [B, A] rows of edge data for per-row node."""
+        base = node[:, None] * A + jax.lax.broadcasted_iota(
+            jnp.int32, (B, A), 1
+        )
+        return jnp.take_along_axis(arr, base, axis=1)
+
+    def body(state):
+        current, depth, active, parent, action, path, t = state
+        idx = take_edges(child_index, current)  # [B, A]
+        exists = idx >= 0
+        safe = jnp.maximum(idx, 0)
+        cvis = jnp.where(exists, jnp.take_along_axis(visit, safe, axis=1), 0)
+        cvsum = jnp.where(
+            exists, jnp.take_along_axis(value_sum, safe, axis=1), 0.0
+        )
+        crew = jnp.where(exists, jnp.take_along_axis(reward, safe, axis=1), 0.0)
+        cval = jnp.where(cvis > 0, cvsum / jnp.maximum(cvis, 1), 0.0)
+
+        pvis = take_node(visit, current).astype(jnp.float32)  # [B, 1]
+        pb_c = (
+            jnp.log((pvis + pb_c_base + 1.0) / pb_c_base) + pb_c_init
+        ) * jnp.sqrt(pvis) / (cvis.astype(jnp.float32) + 1.0)
+        prior_score = pb_c * take_edges(child_prior, current)
+        q = crew + discount * sign * cval
+        qn = jnp.where(span_ok, (q - mn) * inv_span, q)
+        score = prior_score + jnp.where(cvis > 0, qn, 0.0)
+        at_root = current == 0
+        score = jnp.where(at_root[:, None] & ~legal, -jnp.inf, score)
+
+        if tie_jitter > 0:
+            bits = pltpu.prng_random_bits((B, A))
+            score = score + bits.astype(jnp.float32) * (
+                tie_jitter / 4.2949673e9
+            )
+        sel = jnp.argmax(score, axis=1).astype(jnp.int32)  # [B]
+
+        child = jnp.take_along_axis(
+            child_index, (current * A + sel)[:, None], axis=1
+        )[:, 0]
+        hits_leaf = active & (child < 0)
+        parent = jnp.where(hits_leaf, current, parent)
+        action = jnp.where(hits_leaf, sel, action)
+        active = active & (child >= 0)
+        current = jnp.where(active, child, current)
+        depth = depth + active.astype(jnp.int32)
+        # record path[:, t+1] = current for still-active rows
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, D), 1) == (t + 1)
+        path = jnp.where(col & active[:, None], current[:, None], path)
+        return current, depth, active, parent, action, path, t + 1
+
+    def cond(state):
+        _, _, active, _, _, _, t = state
+        return jnp.logical_and(jnp.any(active), t < max_depth - 1)
+
+    current0 = jnp.zeros((B,), jnp.int32)
+    zero = jnp.zeros((B,), jnp.int32)
+    active0 = jnp.ones((B,), bool)
+    path0 = jnp.full((B, D), -1, jnp.int32)
+    path0 = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (B, D), 1) == 0, 0, path0
+    )
+    _, depth, _, parent, action, path, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (current0, zero, active0, zero, zero, path0, jnp.int32(0)),
+    )
+    parent_ref[:] = parent[:, None]
+    action_ref[:] = action[:, None]
+    depth_ref[:] = (depth + 1)[:, None]  # leaf sits one edge below
+    path_ref[:] = path
+
+
+def _backprop_kernel(
+    path_ref,  # [B, D] i32
+    leaf_depth_ref,  # [B, 1] i32
+    leaf_value_ref,  # [B, 1] f32
+    vt_leaf_ref,  # [B, 1] i32
+    to_play_ref,  # [B, N] i32
+    reward_ref,  # [B, N] f32
+    visit_in_ref,  # [B, N] i32  (aliased -> visit_out)
+    vsum_in_ref,  # [B, N] f32  (aliased -> vsum_out)
+    min_in_ref,  # [B, 1] f32  (aliased)
+    max_in_ref,  # [B, 1] f32  (aliased)
+    visit_out_ref,
+    vsum_out_ref,
+    min_out_ref,
+    max_out_ref,
+    *,
+    num_players: int,
+    discount: float,
+):
+    B, N = visit_in_ref.shape
+    path = path_ref[:]
+    leaf_depth = leaf_depth_ref[:][:, 0]
+    vt_leaf = vt_leaf_ref[:][:, 0]
+    to_play = to_play_ref[:]
+    reward = reward_ref[:]
+    sign = 1.0 if num_players == 1 else -1.0
+
+    def body(state):
+        visit, vsum, mn, mx, value, t_rev = state
+        t = leaf_depth - t_rev  # [B]
+        valid = t >= 0
+        node = jnp.take_along_axis(path, jnp.maximum(t, 0)[:, None], axis=1)[
+            :, 0
+        ]
+        node_oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, N), 1) == node[:, None]
+        )
+        ntp = jnp.take_along_axis(to_play, node[:, None], axis=1)[:, 0]
+        nrew = jnp.take_along_axis(reward, node[:, None], axis=1)[:, 0]
+        same = ntp == vt_leaf
+        if num_players == 1:
+            delta = value
+        else:
+            delta = jnp.where(same, value, -value)
+
+        vsum = vsum + jnp.where(
+            (node_oh & valid[:, None]), delta[:, None], 0.0
+        )
+        visit = visit + (node_oh & valid[:, None]).astype(jnp.int32)
+
+        nvis = jnp.take_along_axis(visit, node[:, None], axis=1)[:, 0]
+        nvsum = jnp.take_along_axis(vsum, node[:, None], axis=1)[:, 0]
+        nval = jnp.where(nvis > 0, nvsum / jnp.maximum(nvis, 1), 0.0)
+        stat = nrew + discount * sign * nval
+        mn = jnp.where(valid[:, None], jnp.minimum(mn, stat[:, None]), mn)
+        mx = jnp.where(valid[:, None], jnp.maximum(mx, stat[:, None]), mx)
+
+        if num_players == 1:
+            vnext = nrew + discount * value
+        else:
+            vnext = jnp.where(same, -nrew, nrew) + discount * value
+        value = jnp.where(valid, vnext, value)
+        return visit, vsum, mn, mx, value, t_rev + 1
+
+    def cond(state):
+        *_, t_rev = state
+        return jnp.any(leaf_depth - t_rev >= 0)
+
+    visit, vsum, mn, mx, _, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            visit_in_ref[:],
+            vsum_in_ref[:],
+            min_in_ref[:],
+            max_in_ref[:],
+            leaf_value_ref[:][:, 0],
+            jnp.int32(0),
+        ),
+    )
+    visit_out_ref[:] = visit
+    vsum_out_ref[:] = vsum
+    min_out_ref[:] = mn
+    max_out_ref[:] = mx
+
+
+def fits_vmem(B, N, A, budget_bytes=8 * 1024 * 1024):
+    """Conservative VMEM budget check for the fused kernels."""
+    tree_bytes = B * (N * 3 * 4 + N * A * 2 * 4 + A * 4 + N * 4)
+    return tree_bytes < budget_bytes
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_players", "pb_c_base", "pb_c_init", "discount",
+                     "A", "max_depth", "tie_jitter", "interpret"),
+)
+def descend(seed, visit, value_sum, reward, children_index, children_prior,
+            root_legal, min_value, max_value, *, num_players, pb_c_base,
+            pb_c_init, discount, A, max_depth, tie_jitter=TIE_JITTER,
+            interpret=False):
+    """Fused descent. Returns (parent [B], action [B], leaf_depth [B],
+    path [B, max_depth+1])."""
+    B, N = visit.shape
+    D = max_depth + 1
+    kernel = functools.partial(
+        _descend_kernel,
+        num_players=num_players, pb_c_base=pb_c_base, pb_c_init=pb_c_init,
+        discount=discount, A=A, max_depth=D, tie_jitter=tie_jitter,
+    )
+    parent, action, depth, path = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, D), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray([seed], jnp.int32),
+        visit,
+        value_sum,
+        reward,
+        children_index.reshape(B, -1),
+        children_prior.reshape(B, -1),
+        root_legal.astype(jnp.int32),
+        min_value[:, None],
+        max_value[:, None],
+    )
+    return parent[:, 0], action[:, 0], depth[:, 0], path
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_players", "discount", "interpret")
+)
+def backprop(path, leaf_depth, leaf_value, vt_leaf, to_play, reward, visit,
+             value_sum, min_value, max_value, *, num_players, discount,
+             interpret=False):
+    """Fused backprop. Returns updated (visit, value_sum, min, max)."""
+    B, N = visit.shape
+    kernel = functools.partial(
+        _backprop_kernel, num_players=num_players, discount=discount
+    )
+    visit2, vsum2, mn2, mx2 = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N), jnp.int32),
+            jax.ShapeDtypeStruct((B, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
+        interpret=interpret,
+    )(
+        path,
+        leaf_depth[:, None],
+        leaf_value[:, None],
+        vt_leaf[:, None],
+        to_play,
+        reward,
+        visit,
+        value_sum,
+        min_value[:, None],
+        max_value[:, None],
+    )
+    return visit2, vsum2, mn2[:, 0], mx2[:, 0]
