@@ -67,69 +67,99 @@ def _descend_kernel(
 
     sign = 1.0 if num_players == 1 else -1.0
     D = path_ref.shape[1]
+    N = visit.shape[1]
+    NA = N * A
 
-    def take_node(arr, node):
-        """arr [B, N] gathered at per-row node -> [B, 1]."""
-        return jnp.take_along_axis(arr, node[:, None], axis=1)
+    # Mosaic has no narrow gathers: per-row indexing is done with
+    # iota-mask reductions, and "the A edges of node n" with a one-hot
+    # masked matmul against a static [N*A, A] selection matrix.
+    iota_NA = jax.lax.broadcasted_iota(jnp.int32, (B, NA), 1)
+    sel_matrix = (
+        jax.lax.broadcasted_iota(jnp.int32, (NA, A), 0) % A
+        == jax.lax.broadcasted_iota(jnp.int32, (NA, A), 1)
+    ).astype(jnp.float32)
 
-    def take_edges(arr, node):
-        """arr [B, N*A] -> [B, A] rows of edge data for per-row node."""
-        base = node[:, None] * A + jax.lax.broadcasted_iota(
-            jnp.int32, (B, A), 1
+    def row_gather(arr, idx_col):
+        """arr [B, L], idx_col [B, 1] i32 -> [B, 1] (mask-reduce).
+
+        All loop carriers stay 2D 32-bit: Mosaic cannot yield 1-bit or 1-D
+        vectors from scf loops.
+        """
+        mask = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1) == idx_col
+        return jnp.sum(
+            jnp.where(mask, arr, jnp.zeros_like(arr)), axis=1, keepdims=True
         )
-        return jnp.take_along_axis(arr, base, axis=1)
+
+    def take_edges(arr_f32, node_col):
+        """arr [B, N*A] f32 -> [B, A]: the A edge entries of `node`."""
+        mask = (iota_NA // A) == node_col
+        return jnp.dot(
+            jnp.where(mask, arr_f32, 0.0),
+            sel_matrix,
+            preferred_element_type=jnp.float32,
+        )
+
+    visit_f = visit.astype(jnp.float32)
 
     def body(state):
         current, depth, active, parent, action, path, t = state
-        idx = take_edges(child_index, current)  # [B, A]
+        idx = take_edges(child_index.astype(jnp.float32), current)  # [B, A]
         exists = idx >= 0
-        safe = jnp.maximum(idx, 0)
-        cvis = jnp.where(exists, jnp.take_along_axis(visit, safe, axis=1), 0)
-        cvsum = jnp.where(
-            exists, jnp.take_along_axis(value_sum, safe, axis=1), 0.0
+        # Per-edge child stats, one mask-reduce per action slot (A is small
+        # for VMEM-eligible games; big-A games use the XLA path).
+        idx_cols = [
+            jnp.maximum(idx[:, a : a + 1].astype(jnp.int32), 0)
+            for a in range(A)
+        ]
+        cvis = jnp.concatenate(
+            [row_gather(visit_f, c) for c in idx_cols], axis=1
         )
-        crew = jnp.where(exists, jnp.take_along_axis(reward, safe, axis=1), 0.0)
-        cval = jnp.where(cvis > 0, cvsum / jnp.maximum(cvis, 1), 0.0)
+        cvsum = jnp.concatenate(
+            [row_gather(value_sum, c) for c in idx_cols], axis=1
+        )
+        crew = jnp.concatenate(
+            [row_gather(reward, c) for c in idx_cols], axis=1
+        )
+        cvis = jnp.where(exists, cvis, 0.0)
+        cvsum = jnp.where(exists, cvsum, 0.0)
+        crew = jnp.where(exists, crew, 0.0)
+        cval = jnp.where(cvis > 0, cvsum / jnp.maximum(cvis, 1.0), 0.0)
 
-        pvis = take_node(visit, current).astype(jnp.float32)  # [B, 1]
+        pvis = row_gather(visit_f, current)  # [B, 1]
         pb_c = (
             jnp.log((pvis + pb_c_base + 1.0) / pb_c_base) + pb_c_init
-        ) * jnp.sqrt(pvis) / (cvis.astype(jnp.float32) + 1.0)
+        ) * jnp.sqrt(pvis) / (cvis + 1.0)
         prior_score = pb_c * take_edges(child_prior, current)
         q = crew + discount * sign * cval
         qn = jnp.where(span_ok, (q - mn) * inv_span, q)
         score = prior_score + jnp.where(cvis > 0, qn, 0.0)
-        at_root = current == 0
-        score = jnp.where(at_root[:, None] & ~legal, -jnp.inf, score)
+        score = jnp.where((current == 0) & ~legal, -jnp.inf, score)
 
         if tie_jitter > 0:
             bits = pltpu.prng_random_bits((B, A))
             score = score + bits.astype(jnp.float32) * (
                 tie_jitter / 4.2949673e9
             )
-        sel = jnp.argmax(score, axis=1).astype(jnp.int32)  # [B]
+        sel = jnp.argmax(score, axis=1).astype(jnp.int32)[:, None]  # [B, 1]
 
-        child = jnp.take_along_axis(
-            child_index, (current * A + sel)[:, None], axis=1
-        )[:, 0]
-        hits_leaf = active & (child < 0)
-        parent = jnp.where(hits_leaf, current, parent)
-        action = jnp.where(hits_leaf, sel, action)
-        active = active & (child >= 0)
-        current = jnp.where(active, child, current)
-        depth = depth + active.astype(jnp.int32)
+        child = row_gather(child_index, current * A + sel)
+        hits = active * (child < 0).astype(jnp.int32)
+        parent = jnp.where(hits == 1, current, parent)
+        action = jnp.where(hits == 1, sel, action)
+        active = active * (child >= 0).astype(jnp.int32)
+        current = jnp.where(active == 1, child, current)
+        depth = depth + active
         # record path[:, t+1] = current for still-active rows
         col = jax.lax.broadcasted_iota(jnp.int32, (B, D), 1) == (t + 1)
-        path = jnp.where(col & active[:, None], current[:, None], path)
+        path = jnp.where(col & (active == 1), current, path)
         return current, depth, active, parent, action, path, t + 1
 
     def cond(state):
         _, _, active, _, _, _, t = state
-        return jnp.logical_and(jnp.any(active), t < max_depth - 1)
+        return jnp.logical_and(jnp.any(active == 1), t < max_depth - 1)
 
-    current0 = jnp.zeros((B,), jnp.int32)
-    zero = jnp.zeros((B,), jnp.int32)
-    active0 = jnp.ones((B,), bool)
+    col0 = jnp.zeros((B, 1), jnp.int32)
+    one0 = jnp.ones((B, 1), jnp.int32)
     path0 = jnp.full((B, D), -1, jnp.int32)
     path0 = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (B, D), 1) == 0, 0, path0
@@ -137,11 +167,11 @@ def _descend_kernel(
     _, depth, _, parent, action, path, _ = jax.lax.while_loop(
         cond,
         body,
-        (current0, zero, active0, zero, zero, path0, jnp.int32(0)),
+        (col0, col0, one0, col0, col0, path0, jnp.int32(0)),
     )
-    parent_ref[:] = parent[:, None]
-    action_ref[:] = action[:, None]
-    depth_ref[:] = (depth + 1)[:, None]  # leaf sits one edge below
+    parent_ref[:] = parent
+    action_ref[:] = action
+    depth_ref[:] = depth + 1  # leaf sits one edge below
     path_ref[:] = path
 
 
@@ -166,41 +196,41 @@ def _backprop_kernel(
 ):
     B, N = visit_in_ref.shape
     path = path_ref[:]
-    leaf_depth = leaf_depth_ref[:][:, 0]
-    vt_leaf = vt_leaf_ref[:][:, 0]
+    leaf_depth = leaf_depth_ref[:]  # [B, 1]
+    vt_leaf = vt_leaf_ref[:]  # [B, 1]
     to_play = to_play_ref[:]
     reward = reward_ref[:]
     sign = 1.0 if num_players == 1 else -1.0
 
+    def row_gather(arr, idx_col):
+        mask = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1) == idx_col
+        return jnp.sum(
+            jnp.where(mask, arr, jnp.zeros_like(arr)), axis=1, keepdims=True
+        )
+
     def body(state):
         visit, vsum, mn, mx, value, t_rev = state
-        t = leaf_depth - t_rev  # [B]
-        valid = t >= 0
-        node = jnp.take_along_axis(path, jnp.maximum(t, 0)[:, None], axis=1)[
-            :, 0
-        ]
-        node_oh = (
-            jax.lax.broadcasted_iota(jnp.int32, (B, N), 1) == node[:, None]
-        )
-        ntp = jnp.take_along_axis(to_play, node[:, None], axis=1)[:, 0]
-        nrew = jnp.take_along_axis(reward, node[:, None], axis=1)[:, 0]
+        t = leaf_depth - t_rev  # [B, 1]
+        valid = t >= 0  # [B, 1]
+        node = row_gather(path, jnp.maximum(t, 0))  # [B, 1]
+        node_oh = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1) == node
+        ntp = row_gather(to_play, node)
+        nrew = row_gather(reward, node)
         same = ntp == vt_leaf
         if num_players == 1:
             delta = value
         else:
             delta = jnp.where(same, value, -value)
 
-        vsum = vsum + jnp.where(
-            (node_oh & valid[:, None]), delta[:, None], 0.0
-        )
-        visit = visit + (node_oh & valid[:, None]).astype(jnp.int32)
+        vsum = vsum + jnp.where(node_oh & valid, delta, 0.0)
+        visit = visit + (node_oh & valid).astype(jnp.int32)
 
-        nvis = jnp.take_along_axis(visit, node[:, None], axis=1)[:, 0]
-        nvsum = jnp.take_along_axis(vsum, node[:, None], axis=1)[:, 0]
-        nval = jnp.where(nvis > 0, nvsum / jnp.maximum(nvis, 1), 0.0)
+        nvis = row_gather(visit, node).astype(jnp.float32)
+        nvsum = row_gather(vsum, node)
+        nval = jnp.where(nvis > 0, nvsum / jnp.maximum(nvis, 1.0), 0.0)
         stat = nrew + discount * sign * nval
-        mn = jnp.where(valid[:, None], jnp.minimum(mn, stat[:, None]), mn)
-        mx = jnp.where(valid[:, None], jnp.maximum(mx, stat[:, None]), mx)
+        mn = jnp.where(valid, jnp.minimum(mn, stat), mn)
+        mx = jnp.where(valid, jnp.maximum(mx, stat), mx)
 
         if num_players == 1:
             vnext = nrew + discount * value
@@ -221,7 +251,7 @@ def _backprop_kernel(
             vsum_in_ref[:],
             min_in_ref[:],
             max_in_ref[:],
-            leaf_value_ref[:][:, 0],
+            leaf_value_ref[:],
             jnp.int32(0),
         ),
     )
