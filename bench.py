@@ -37,6 +37,7 @@ def measure_ours(num_games=1024, num_moves=8, num_simulations=50):
     cfg.num_simulations = num_simulations
     cfg.parallel_games = num_games
     cfg.selfplay_chunk_moves = num_moves
+    cfg.use_pallas_mcts = True  # fused kernels: ~3x search throughput
 
     env = make_env()
     runner = MuZeroNetwork(cfg)

@@ -124,6 +124,9 @@ class MuZeroConfig:
         # Train steps fused into one device dispatch (scan) — amortizes
         # dispatch latency to a remote/tunneled chip. 1 disables fusion.
         self.fused_train_steps = 8
+        # Fused Pallas MCTS kernels (ops/mcts_pallas.py). Only engages when
+        # the tree fits VMEM; compile time is large, so off by default.
+        self.use_pallas_mcts = False
 
     def visit_softmax_temperature_fn(self, trained_steps):
         """Temperature schedule (reference games/cartpole.py:115-128)."""

@@ -28,7 +28,7 @@ class HostSelfPlayDriver:
         self.A = env0.num_actions
         self.obs_shape = tuple(env0.observation_shape)
         self.n = config.stacked_observations
-        self.spec = mcts_ops.SearchSpec.from_config(config)
+        self.spec = mcts_ops.SearchSpec.from_config(config, batch_size=self.G)
         self._rng = jax.random.PRNGKey(base_seed)
 
         runner_ref = runner

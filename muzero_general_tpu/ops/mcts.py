@@ -54,9 +54,16 @@ class SearchSpec(NamedTuple):
     pallas_interpret: bool = False
 
     @classmethod
-    def from_config(cls, config):
+    def from_config(cls, config, batch_size=None):
         if len(config.players) > 2:
             raise NotImplementedError("More than two player mode not implemented.")
+        use_pallas = bool(getattr(config, "use_pallas_mcts", False))
+        if use_pallas and batch_size is not None:
+            from muzero_general_tpu.ops.mcts_pallas import fits_vmem
+
+            use_pallas = fits_vmem(
+                batch_size, config.num_simulations + 1, len(config.action_space)
+            )
         return cls(
             num_simulations=config.num_simulations,
             num_players=len(config.players),
@@ -67,6 +74,7 @@ class SearchSpec(NamedTuple):
             exploration_fraction=float(config.root_exploration_fraction),
             support_size=config.support_size,
             max_depth=config.num_simulations,
+            use_pallas=use_pallas,
         )
 
 

@@ -262,9 +262,18 @@ def _backprop_kernel(
 
 
 def fits_vmem(B, N, A, budget_bytes=8 * 1024 * 1024):
-    """Conservative VMEM budget check for the fused kernels."""
-    tree_bytes = B * (N * 3 * 4 + N * A * 2 * 4 + A * 4 + N * 4)
-    return tree_bytes < budget_bytes
+    """Conservative VMEM budget check for the fused kernels.
+
+    Counts lane-padded (multiples of 128) array footprints and a 2x factor
+    for while-loop carry double-buffering; calibrated against the observed
+    limit (B=1024, N=51, A=2 fits in 16MB VMEM; B=2048 does not).
+    """
+
+    def pad(x):
+        return -(-x // 128) * 128
+
+    tree_bytes = B * 4 * (pad(N) * 3 + pad(N * A) * 2 + pad(A) + pad(N + 1))
+    return 2 * tree_bytes < budget_bytes
 
 
 @functools.partial(

@@ -53,12 +53,12 @@ class MoveRecord(NamedTuple):
 
 class SelfPlayDriver:
     def __init__(self, env, runner, config, num_games: Optional[int] = None,
-                 seed: Optional[int] = None, deterministic: bool = False):
+                 seed: Optional[int] = None):
         self.env = env
         self.runner = runner
         self.config = config
         self.G = num_games or config.parallel_games
-        self.spec = mcts_ops.SearchSpec.from_config(config)
+        self.spec = mcts_ops.SearchSpec.from_config(config, batch_size=self.G)
         self.A = env.num_actions
         n = config.stacked_observations
         c, h, w = env.observation_shape
@@ -68,9 +68,9 @@ class SelfPlayDriver:
         self._carry = None
         # Per-lane lists of record slabs ([T, ...] arrays) awaiting a done cut
         self._pending = [[] for _ in range(self.G)]
-        self._build(deterministic)
+        self._build()
 
-    def _build(self, deterministic):
+    def _build(self):
         env, runner, config = self.env, self.runner, self.config
         G, A, n = self.G, self.A, self._n
         spec = self.spec
