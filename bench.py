@@ -80,19 +80,21 @@ def measure_reference_pattern(num_moves=30, num_simulations=50):
     pol_net = mlp(8, [16], 2)
     val_net = mlp(8, [16], 21)
 
+    best = 0.0
     with torch.no_grad():
         obs = torch.randn(1, 4)
-        t0 = time.time()
-        for _ in range(num_moves):
-            h = repr_net(obs)
-            pol_net(h), val_net(h)
-            for _ in range(num_simulations):
-                x = torch.cat([h, torch.zeros(1, 2)], dim=1)
-                h2 = dyn_net(x)
-                rew_net(h2), pol_net(h2), val_net(h2)
-                h = h2
-        dt = time.time() - t0
-    return num_moves / dt  # env-steps/s for one worker (num_workers=1)
+        for _ in range(3):  # best-of-3 favors the baseline (host-load noise)
+            t0 = time.time()
+            for _ in range(num_moves):
+                h = repr_net(obs)
+                pol_net(h), val_net(h)
+                for _ in range(num_simulations):
+                    x = torch.cat([h, torch.zeros(1, 2)], dim=1)
+                    h2 = dyn_net(x)
+                    rew_net(h2), pol_net(h2), val_net(h2)
+                    h = h2
+            best = max(best, num_moves / (time.time() - t0))
+    return best  # env-steps/s for one worker (num_workers=1)
 
 
 def main():

@@ -59,10 +59,15 @@ class SearchSpec(NamedTuple):
             raise NotImplementedError("More than two player mode not implemented.")
         use_pallas = bool(getattr(config, "use_pallas_mcts", False))
         if use_pallas and batch_size is not None:
-            from muzero_general_tpu.ops.mcts_pallas import fits_vmem
+            from muzero_general_tpu.ops.mcts_pallas import choose_block
 
-            use_pallas = fits_vmem(
-                batch_size, config.num_simulations + 1, len(config.action_space)
+            use_pallas = (
+                choose_block(
+                    batch_size,
+                    config.num_simulations + 1,
+                    len(config.action_space),
+                )
+                is not None
             )
         return cls(
             num_simulations=config.num_simulations,

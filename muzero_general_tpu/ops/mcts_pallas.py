@@ -52,7 +52,7 @@ def _descend_kernel(
 ):
     B = visit_ref.shape[0]
     if tie_jitter > 0:  # PRNG only on the real TPU path (no interpret impl)
-        pltpu.prng_seed(seed_ref[0])
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
     visit = visit_ref[:]
     value_sum = value_sum_ref[:]
@@ -276,6 +276,18 @@ def fits_vmem(B, N, A, budget_bytes=8 * 1024 * 1024):
     return 2 * tree_bytes < budget_bytes
 
 
+def choose_block(B, N, A):
+    """Largest divisor block of B whose tree slice fits VMEM; None if none."""
+    block = B
+    while block >= 8:
+        if fits_vmem(block, N, A):
+            return block
+        if block % 2:
+            return None
+        block //= 2
+    return None
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_players", "pb_c_base", "pb_c_init", "discount",
@@ -289,27 +301,42 @@ def descend(seed, visit, value_sum, reward, children_index, children_prior,
     path [B, max_depth+1])."""
     B, N = visit.shape
     D = max_depth + 1
+    # Grid over lane blocks: each program handles `block` trees in VMEM, so
+    # total batch size is unbounded by the 16MB VMEM (blocks pipeline).
+    block = choose_block(B, N, A) or B
+    grid = B // block
     kernel = functools.partial(
         _descend_kernel,
         num_players=num_players, pb_c_base=pb_c_base, pb_c_init=pb_c_init,
         discount=discount, A=A, max_depth=D, tie_jitter=tie_jitter,
     )
+
+    def bspec(cols):
+        return pl.BlockSpec(
+            (block, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
     parent, action, depth, path = pl.pallas_call(
         kernel,
+        grid=(grid,),
         out_shape=(
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, D), jnp.int32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            bspec(N),
+            bspec(N),
+            bspec(N),
+            bspec(N * A),
+            bspec(N * A),
+            bspec(A),
+            bspec(1),
+            bspec(1),
+        ],
+        out_specs=(bspec(1), bspec(1), bspec(1), bspec(D)),
         interpret=interpret,
     )(
         jnp.asarray([seed], jnp.int32),
@@ -333,24 +360,32 @@ def backprop(path, leaf_depth, leaf_value, vt_leaf, to_play, reward, visit,
              interpret=False):
     """Fused backprop. Returns updated (visit, value_sum, min, max)."""
     B, N = visit.shape
+    D = path.shape[1]
+    block = choose_block(B, N, 1) or B
+    grid = B // block
     kernel = functools.partial(
         _backprop_kernel, num_players=num_players, discount=discount
     )
+
+    def bspec(cols):
+        return pl.BlockSpec(
+            (block, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
     visit2, vsum2, mn2, mx2 = pl.pallas_call(
         kernel,
+        grid=(grid,),
         out_shape=(
             jax.ShapeDtypeStruct((B, N), jnp.int32),
             jax.ShapeDtypeStruct((B, N), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
+        in_specs=[
+            bspec(D), bspec(1), bspec(1), bspec(1), bspec(N), bspec(N),
+            bspec(N), bspec(N), bspec(1), bspec(1),
+        ],
+        out_specs=(bspec(N), bspec(N), bspec(1), bspec(1)),
         input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
         interpret=interpret,
     )(
