@@ -25,7 +25,7 @@ import sys
 import time
 
 
-def measure_ours(num_games=1024, num_moves=8, num_simulations=50):
+def measure_ours(num_games=4096, num_moves=8, num_simulations=50):
     import jax
     import jax.numpy as jnp
 
@@ -99,7 +99,7 @@ def measure_reference_pattern(num_moves=30, num_simulations=50):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--games", type=int, default=1024)
+    ap.add_argument("--games", type=int, default=4096)
     ap.add_argument("--moves", type=int, default=8)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()

@@ -31,7 +31,6 @@ from muzero_general_tpu.replay import GameHistory, ReplayBuffer
 from muzero_general_tpu.selfplay import SelfPlayDriver
 from muzero_general_tpu.trainer import (
     TrainState,
-    init_train_state,
     make_fused_train_steps,
     make_optimizer,
     make_train_step,

@@ -17,7 +17,7 @@ driver). Semantics parity with reference replay_buffer.py:
 - stale-update guards on evicted games (replay_buffer.py:198-228).
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional
 
 import numpy as np

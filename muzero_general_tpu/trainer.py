@@ -21,7 +21,6 @@ Returns per-position priorities |decoded value − scalar target|^PER_alpha
 (trainer.py:196-207, :239-250) for the PER write-back.
 """
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax
