@@ -229,8 +229,15 @@ class ReplayBuffer:
         if native is not None:
             obs_out = np.zeros((B, c * (n + 1) + n, h, w), np.float32)
             rnd = self.rng.integers(0, A, (B, U + 1)).astype(np.int32)
+
+            def f32(a):
+                return np.ascontiguousarray(a, np.float32)
+
+            def i32(a):
+                return np.ascontiguousarray(a, np.int32)
+
             rv = [
-                (
+                f32(
                     gh.root_values
                     if gh.reanalysed_predicted_root_values is None
                     else gh.reanalysed_predicted_root_values
@@ -238,11 +245,11 @@ class ReplayBuffer:
                 for gh, _ in sampled
             ]
             native.assemble_batch(
-                [gh.observations for gh, _ in sampled],
-                [gh.actions for gh, _ in sampled],
-                [gh.rewards for gh, _ in sampled],
-                [gh.to_play for gh, _ in sampled],
-                [gh.child_visits for gh, _ in sampled],
+                [f32(gh.observations) for gh, _ in sampled],
+                [i32(gh.actions) for gh, _ in sampled],
+                [f32(gh.rewards) for gh, _ in sampled],
+                [i32(gh.to_play) for gh, _ in sampled],
+                [f32(gh.child_visits) for gh, _ in sampled],
                 rv,
                 np.array([p for _, p in sampled], np.int32),
                 rnd,
