@@ -127,6 +127,14 @@ class MuZeroConfig:
         # Fused Pallas MCTS kernels (ops/mcts_pallas.py). Only engages when
         # the tree fits VMEM; compile time is large, so off by default.
         self.use_pallas_mcts = False
+        # Gumbel MuZero root action selection (ops/gumbel.py, Danihelka et
+        # al. ICLR 2022): sequential-halving root search + improved-policy
+        # targets — the same policy improvement with far fewer simulations
+        # per move than pUCT. Opt-in; no reference counterpart.
+        self.use_gumbel_mcts = False
+        self.gumbel_max_considered_actions = 16
+        self.gumbel_c_visit = 50.0
+        self.gumbel_c_scale = 1.0
 
     def visit_softmax_temperature_fn(self, trained_steps):
         """Temperature schedule (reference games/cartpole.py:115-128)."""

@@ -22,19 +22,37 @@ _search_cache = {}
 def _mcts_policy_fn(runner, config, variables):
     """B=1 search closure; the jitted core is cached per (runner, sims) so
     repeated evaluations don't re-trace."""
-    spec = mcts_ops.SearchSpec.from_config(config)
-    key = (id(runner), spec)
-    if key not in _search_cache:
+    if getattr(config, "use_gumbel_mcts", False):
+        from muzero_general_tpu.ops import gumbel as gumbel_ops
 
-        @jax.jit
-        def search_core(variables, obs, legal, to_play, rng):
-            return mcts_ops.run_mcts(
-                lambda o: runner.initial_inference(variables, o),
-                lambda h, a: runner.recurrent_inference(variables, h, a),
-                obs, legal, to_play, rng, spec, add_exploration_noise=True,
-            )
+        gspec = gumbel_ops.GumbelSpec.from_config(config)
+        key = (id(runner), gspec)
+        if key not in _search_cache:
 
-        _search_cache[key] = search_core
+            @jax.jit
+            def search_core(variables, obs, legal, to_play, rng):
+                # Deterministic greedy Gumbel search for evaluation.
+                return gumbel_ops.run_gumbel_mcts(
+                    lambda o: runner.initial_inference(variables, o),
+                    lambda h, a: runner.recurrent_inference(variables, h, a),
+                    obs, legal, to_play, rng, gspec, add_gumbel=False,
+                )
+
+            _search_cache[key] = search_core
+    else:
+        spec = mcts_ops.SearchSpec.from_config(config)
+        key = (id(runner), spec)
+        if key not in _search_cache:
+
+            @jax.jit
+            def search_core(variables, obs, legal, to_play, rng):
+                return mcts_ops.run_mcts(
+                    lambda o: runner.initial_inference(variables, o),
+                    lambda h, a: runner.recurrent_inference(variables, h, a),
+                    obs, legal, to_play, rng, spec, add_exploration_noise=True,
+                )
+
+            _search_cache[key] = search_core
     core = _search_cache[key]
     return lambda obs, legal, to_play, rng: core(variables, obs, legal, to_play, rng)
 
@@ -124,7 +142,10 @@ def play_against_opponent(env, runner, config, variables, opponent, muzero_playe
                 jnp.full((1,), to_play, jnp.int32), k,
             )
             visits = np.asarray(out.root_visit_counts[0])
-            action = int(np.argmax(np.where(legal[0], visits, -1)))
+            if hasattr(out, "greedy_action"):  # Gumbel search output
+                action = int(out.greedy_action[0])
+            else:
+                action = int(np.argmax(np.where(legal[0], visits, -1)))
             child_visits.append(visits / max(1, visits.sum()))
             root_values.append(float(out.root_value[0]))
             if render:

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from muzero_general_tpu.ops import gumbel as gumbel_ops
 from muzero_general_tpu.ops import mcts as mcts_ops
 from muzero_general_tpu.ops.stacking import (
     push_history,
@@ -58,6 +59,9 @@ class SelfPlayDriver:
         self.runner = runner
         self.config = config
         self.G = num_games or config.parallel_games
+        self.use_gumbel = bool(getattr(config, "use_gumbel_mcts", False))
+        if self.use_gumbel:
+            self.gumbel_spec = gumbel_ops.GumbelSpec.from_config(config)
         self.spec = mcts_ops.SearchSpec.from_config(config, batch_size=self.G)
         self.A = env.num_actions
         n = config.stacked_observations
@@ -97,29 +101,49 @@ class SelfPlayDriver:
             legal = v_legal(carry.env_state)
             to_play = v_to_play(carry.env_state)
 
-            out = mcts_ops.run_mcts(
-                lambda o: runner.initial_inference(variables, o),
-                lambda h, a: runner.recurrent_inference(variables, h, a),
-                stacked, legal, to_play, k_mcts, spec,
-                add_exploration_noise=add_noise,
-            )
-
-            # Per-lane temperature: drops to 0 after temperature_threshold
-            # moves (reference self_play.py:151-157).
-            if temperature_threshold:
-                a_hot = mcts_ops.select_action(
-                    k_sel, out.root_visit_counts, legal, temperature
+            if self.use_gumbel:
+                # Gumbel MuZero: exploration comes from the root Gumbel draw,
+                # so "hot" = the search's chosen action and "cold" (eval /
+                # past temperature_threshold) = argmax improved policy.
+                out = gumbel_ops.run_gumbel_mcts(
+                    lambda o: runner.initial_inference(variables, o),
+                    lambda h, a: runner.recurrent_inference(variables, h, a),
+                    stacked, legal, to_play, k_mcts, self.gumbel_spec,
+                    add_gumbel=add_noise,
                 )
-                a_cold = mcts_ops.select_action(
-                    k_sel, out.root_visit_counts, legal, jnp.float32(0.0)
-                )
-                action = jnp.where(
-                    carry.move_count < temperature_threshold, a_hot, a_cold
-                )
+                a_hot, a_cold = out.action, out.greedy_action
+                policy_target = out.improved_policy
+                if temperature_threshold:
+                    action = jnp.where(
+                        carry.move_count < temperature_threshold, a_hot, a_cold
+                    )
+                else:
+                    action = jnp.where(temperature > 0, a_hot, a_cold)
             else:
-                action = mcts_ops.select_action(
-                    k_sel, out.root_visit_counts, legal, temperature
+                out = mcts_ops.run_mcts(
+                    lambda o: runner.initial_inference(variables, o),
+                    lambda h, a: runner.recurrent_inference(variables, h, a),
+                    stacked, legal, to_play, k_mcts, spec,
+                    add_exploration_noise=add_noise,
                 )
+                policy_target = mcts_ops.visit_policy(out.root_visit_counts)
+
+                # Per-lane temperature: drops to 0 after temperature_threshold
+                # moves (reference self_play.py:151-157).
+                if temperature_threshold:
+                    a_hot = mcts_ops.select_action(
+                        k_sel, out.root_visit_counts, legal, temperature
+                    )
+                    a_cold = mcts_ops.select_action(
+                        k_sel, out.root_visit_counts, legal, jnp.float32(0.0)
+                    )
+                    action = jnp.where(
+                        carry.move_count < temperature_threshold, a_hot, a_cold
+                    )
+                else:
+                    action = mcts_ops.select_action(
+                        k_sel, out.root_visit_counts, legal, temperature
+                    )
 
             states2, reward, done = v_step(
                 carry.env_state, action, jax.random.split(k_step, G)
@@ -135,7 +159,7 @@ class SelfPlayDriver:
                 done=done,
                 to_play=to_play,
                 to_play_next=v_to_play(states2),
-                child_visits=mcts_ops.visit_policy(out.root_visit_counts),
+                child_visits=policy_target,
                 root_value=out.root_value,
                 pred_value=out.root_predicted_value,
                 max_tree_depth=out.max_tree_depth,
