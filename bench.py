@@ -37,7 +37,10 @@ def measure_ours(num_games=4096, num_moves=8, num_simulations=50):
     cfg.num_simulations = num_simulations
     cfg.parallel_games = num_games
     cfg.selfplay_chunk_moves = num_moves
-    cfg.use_pallas_mcts = True  # fused kernels: ~3x search throughput
+    cfg.use_pallas_mcts = True  # staged pallas kernels: ~3x search throughput
+    # Whole-search single-kernel fusion (ops/mcts_fused.py) supersedes the
+    # staged path when shapes allow; staged/XLA remain the fallbacks.
+    cfg.use_fused_search = True
 
     env = make_env()
     runner = MuZeroNetwork(cfg)

@@ -127,6 +127,12 @@ class MuZeroConfig:
         # Fused Pallas MCTS kernels (ops/mcts_pallas.py). Only engages when
         # the tree fits VMEM; compile time is large, so off by default.
         self.use_pallas_mcts = False
+        # Fully-fused single-kernel search (ops/mcts_fused.py): the whole
+        # simulation loop — descend, FC recurrent inference, expand,
+        # backprop — in ONE Pallas launch per move, tree and weights
+        # resident in VMEM. FC networks only; falls back when the tree
+        # doesn't fit VMEM blocks or the network is a ResNet.
+        self.use_fused_search = False
         # Gumbel MuZero root action selection (ops/gumbel.py, Danihelka et
         # al. ICLR 2022): sequential-halving root search + improved-policy
         # targets — the same policy improvement with far fewer simulations

@@ -21,6 +21,7 @@ import numpy as np
 
 from muzero_general_tpu.ops import gumbel as gumbel_ops
 from muzero_general_tpu.ops import mcts as mcts_ops
+from muzero_general_tpu.ops import mcts_fused
 from muzero_general_tpu.ops.stacking import (
     push_history,
     reset_history,
@@ -63,6 +64,25 @@ class SelfPlayDriver:
         if self.use_gumbel:
             self.gumbel_spec = gumbel_ops.GumbelSpec.from_config(config)
         self.spec = mcts_ops.SearchSpec.from_config(config, batch_size=self.G)
+        # Fully-fused single-kernel search (ops/mcts_fused.py): FC networks
+        # whose tree+weights fit VMEM blocks; falls back to the staged paths.
+        self.use_fused = (
+            bool(getattr(config, "use_fused_search", False))
+            and not self.use_gumbel
+            and config.network == "fullyconnected"
+            and mcts_fused.choose_block(
+                self.G,
+                config.num_simulations + 1,
+                len(config.action_space),
+                config.encoding_size,
+            )
+            is not None
+        )
+        if self.use_fused:
+            self.fused_spec = mcts_fused.FusedSpec.from_config(
+                config,
+                interpret=bool(getattr(config, "pallas_interpret", False)),
+            )
         self.A = env.num_actions
         n = config.stacked_observations
         c, h, w = env.observation_shape
@@ -120,12 +140,19 @@ class SelfPlayDriver:
                 else:
                     action = jnp.where(temperature > 0, a_hot, a_cold)
             else:
-                out = mcts_ops.run_mcts(
-                    lambda o: runner.initial_inference(variables, o),
-                    lambda h, a: runner.recurrent_inference(variables, h, a),
-                    stacked, legal, to_play, k_mcts, spec,
-                    add_exploration_noise=add_noise,
-                )
+                if self.use_fused:
+                    out = mcts_fused.run_mcts_fused(
+                        lambda o: runner.initial_inference(variables, o),
+                        variables, stacked, legal, to_play, k_mcts,
+                        self.fused_spec, add_exploration_noise=add_noise,
+                    )
+                else:
+                    out = mcts_ops.run_mcts(
+                        lambda o: runner.initial_inference(variables, o),
+                        lambda h, a: runner.recurrent_inference(variables, h, a),
+                        stacked, legal, to_play, k_mcts, spec,
+                        add_exploration_noise=add_noise,
+                    )
                 policy_target = mcts_ops.visit_policy(out.root_visit_counts)
 
                 # Per-lane temperature: drops to 0 after temperature_threshold
