@@ -128,15 +128,22 @@ def extract_fc_weights(variables, encoding_size):
     return tuple(flat), tuple(counts)
 
 
-def fused_fits_vmem(B, N, A, E, budget_bytes=8 * 1024 * 1024):
+def fused_fits_vmem(B, N, A, E, budget_bytes=8 * 1024 * 1024, weight_bytes=0):
     """Conservative VMEM check: lane-padded tree slabs, 2x for loop carries.
 
     Same calibration methodology as mcts_pallas.fits_vmem; the fused kernel
     additionally carries the [B, N*E] hidden-state slab and the [B, D] path.
+    Block-size-independent residents counted once: the flat network weight
+    blocks (`weight_bytes`) and the four static selection matrices
+    (sel_NA_A/sel_A_NA [N*A, A] and sel_NE_E/sel_E_NE [N*E, E], f32,
+    sublane/lane padded).
     """
 
     def pad(x):
         return -(-x // 128) * 128
+
+    def pad8(x):
+        return -(-x // 8) * 8
 
     per = B * 4 * (
         pad(N) * 4  # visit, vsum, reward, to_play
@@ -146,14 +153,48 @@ def fused_fits_vmem(B, N, A, E, budget_bytes=8 * 1024 * 1024):
         + pad(N)  # path (D = N cols)
         + 8 * pad(1)  # small [B,1] columns
     )
-    return 2 * per < budget_bytes
+    fixed = weight_bytes + 4 * 2 * (
+        pad8(N * A) * pad(A)  # sel_NA_A + sel_A_NA
+        + pad8(N * E) * pad(E)  # sel_NE_E + sel_E_NE
+    )
+    return 2 * per + fixed < budget_bytes
 
 
-def choose_block(B, N, A, E):
+def fc_weight_bytes(config):
+    """Flat f32 byte count of the FC triplet networks the kernel keeps
+    resident (the arrays extract_fc_weights produces, lane-padded)."""
+
+    def pad(x):
+        return -(-x // 128) * 128
+
+    def pad8(x):
+        return -(-x // 8) * 8
+
+    E, A = config.encoding_size, len(config.action_space)
+    S2 = 2 * config.support_size + 1
+    total = 0
+
+    def mlp_bytes(inp, hidden, out):
+        b = 0
+        prev = inp
+        for hdim in list(hidden) + [out]:
+            b += 4 * (pad8(prev) * pad(hdim) + pad(hdim))  # W + bias row
+            prev = hdim
+        return b
+
+    dyn = list(config.fc_dynamics_layers) + [E]
+    total += mlp_bytes(E + A, dyn[:-1], dyn[-1])
+    total += mlp_bytes(E, config.fc_reward_layers, S2)
+    total += mlp_bytes(E, config.fc_policy_layers, A)
+    total += mlp_bytes(E, config.fc_value_layers, S2)
+    return total
+
+
+def choose_block(B, N, A, E, weight_bytes=0):
     """Largest divisor block of B whose fused working set fits VMEM."""
     block = B
     while block >= 8:
-        if fused_fits_vmem(block, N, A, E):
+        if fused_fits_vmem(block, N, A, E, weight_bytes=weight_bytes):
             return block
         if block % 2:
             return None
@@ -503,7 +544,14 @@ def _search(
 ):
     """Launch the fused kernel, grid over lane blocks (VMEM pipelining)."""
     B, N = visit.shape
-    block = choose_block(B, N, A, E) or B
+    weight_bytes = sum(4 * w.size for w in weights_flat)
+    block = choose_block(B, N, A, E, weight_bytes=weight_bytes)
+    if block is None:
+        raise ValueError(
+            f"fused search working set does not fit VMEM for any lane block "
+            f"(B={B}, N={N}, A={A}, E={E}); use ops.mcts.run_mcts instead "
+            f"(the SelfPlayDriver guard does this automatically)"
+        )
     grid = B // block
     kernel = functools.partial(
         _search_kernel,

@@ -24,6 +24,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Uniform score jitter replacing the reference's categorical draw among exact
+# ties (self_play.py:371-377): argmax over iid jitter on equal scores is still
+# a uniform choice among them. SINGLE caveat shared by both Pallas paths
+# (staged here, fused in ops/mcts_fused.py): interpret-mode runs zero the
+# jitter and fall back to deterministic lowest-index tie-break, because the
+# TPU PRNG primitives are only exercised on real hardware.
 TIE_JITTER = 1e-5
 
 

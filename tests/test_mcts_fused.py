@@ -17,7 +17,7 @@ from muzero_general_tpu.ops import mcts as M
 from muzero_general_tpu.ops import mcts_fused as F
 
 
-def _setup(num_players=1, sims=20, B=6):
+def _setup(num_players=1, sims=20, B=8):  # >= choose_block's 8-lane floor
     cfg = MuZeroConfig()
     cfg.num_simulations = sims
     cfg.players = list(range(num_players))
@@ -79,13 +79,13 @@ def test_fused_deeper_dynamics_mlp():
     cfg = MuZeroConfig()
     cfg.num_simulations = 12
     cfg.encoding_size = 6
+    B = 8
     cfg.fc_dynamics_layers = [16, 12]
     cfg.fc_reward_layers = []  # single linear output layer
     cfg.fc_value_layers = [8]
     cfg.fc_policy_layers = [8]
     runner = MuZeroNetwork(cfg)
     variables = runner.init(jax.random.PRNGKey(1))
-    B = 4
     obs = jax.random.normal(jax.random.PRNGKey(6), (B, 1, 1, 4))
     legal = jnp.ones((B, 2), bool)
     to_play = jnp.zeros((B,), jnp.int32)
@@ -112,6 +112,20 @@ def test_fused_deeper_dynamics_mlp():
         np.asarray(got.root_value), np.asarray(ref.root_value),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_fused_rejects_unfittable_batch():
+    """run_mcts_fused raises a clear error instead of compiling an
+    over-VMEM / sub-sublane launch when no valid lane block exists."""
+    cfg, runner, variables, obs, legal, to_play, rng = _setup(B=6)
+    fspec = F.FusedSpec.from_config(
+        cfg, deterministic_tie_break=True, interpret=True
+    )
+    with pytest.raises(ValueError, match="does not fit VMEM"):
+        F.run_mcts_fused(
+            lambda o: runner.initial_inference(variables, o),
+            variables, obs, legal, to_play, rng, fspec,
+        )
 
 
 def test_fused_selfplay_driver_smoke():
