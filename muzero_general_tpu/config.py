@@ -100,6 +100,12 @@ class MuZeroConfig:
         self.reanalyse_on_gpu = False  # reference parity; unused
 
         ### Self-play / training ratio
+        # self_play_delay/training_delay are carried for override parity with
+        # the reference's sleep-based throttle (self_play.py:92-106,
+        # trainer.py:109-122) but are intentionally UNUSED: the synchronous
+        # schedule in MuZero.train() enforces `ratio` exactly (the learner
+        # catches up to ratio * num_played_steps after every self-play chunk),
+        # so there is nothing to de-rate by sleeping.
         self.self_play_delay = 0
         self.training_delay = 0
         self.ratio = 1.5  # target training_steps / self_played_steps
@@ -115,9 +121,15 @@ class MuZeroConfig:
         self.mesh_mp = 1
         # Compute dtype for network matmuls ("bfloat16" or "float32")
         self.compute_dtype = "float32"
-        # Reanalyse cadence: refresh one buffered game every N training steps
-        # (the reference runs reanalyse as a free-running actor; we schedule it).
+        # Reanalyse cadence: every N training steps, refresh the root values
+        # of `reanalyse_games_per_interval` buffered games round-robin, in
+        # device sweeps of `reanalyse_chunk_positions` stacked positions (the
+        # reference runs reanalyse as a free-running actor over single games,
+        # replay_buffer.py:328-373; the batched schedule refreshes the whole
+        # buffer at ~buffer rate).
         self.reanalyse_interval = 20
+        self.reanalyse_games_per_interval = 32
+        self.reanalyse_chunk_positions = 1024
         # Optional jax.profiler trace: directory to write a device trace of
         # training-loop iterations 20-25 (None = off).
         self.profile_dir = None
@@ -125,14 +137,16 @@ class MuZeroConfig:
         # dispatch latency to a remote/tunneled chip. 1 disables fusion.
         self.fused_train_steps = 8
         # Fused Pallas MCTS kernels (ops/mcts_pallas.py). Only engages when
-        # the tree fits VMEM; compile time is large, so off by default.
-        self.use_pallas_mcts = False
+        # the tree fits VMEM. "auto" = on for real accelerator backends,
+        # off on CPU (the interpreter is slow); True/False force it.
+        self.use_pallas_mcts = "auto"
         # Fully-fused single-kernel search (ops/mcts_fused.py): the whole
         # simulation loop — descend, FC recurrent inference, expand,
         # backprop — in ONE Pallas launch per move, tree and weights
         # resident in VMEM. FC networks only; falls back when the tree
-        # doesn't fit VMEM blocks or the network is a ResNet.
-        self.use_fused_search = False
+        # doesn't fit VMEM blocks or the network is a ResNet. "auto" as above
+        # — `MuZero(game).train()` on a TPU takes the fast path by default.
+        self.use_fused_search = "auto"
         # Gumbel MuZero root action selection (ops/gumbel.py, Danihelka et
         # al. ICLR 2022): sequential-halving root search + improved-policy
         # targets — the same policy improvement with far fewer simulations

@@ -18,10 +18,19 @@ from muzero_general_tpu.replay import GameHistory
 
 class HostSelfPlayDriver:
     def __init__(self, env_factory, runner, config, num_games: Optional[int] = None,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, mesh=None, greedy_lanes: int = 0):
         self.config = config
         self.runner = runner
         self.G = num_games or config.parallel_games
+        self.greedy_lanes = greedy_lanes
+        # Optional dp mesh: the device-side batched search shards over the
+        # lane axis via input placement (the search is plain XLA here, so
+        # GSPMD propagation is enough — no shard_map needed).
+        self._sharding = None
+        if mesh is not None and mesh.shape.get("dp", 1) > 1 and self.G % mesh.shape["dp"] == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._sharding = NamedSharding(mesh, P("dp"))
         base_seed = config.seed if seed is None else seed
         self.envs = [env_factory(seed=base_seed + i) for i in range(self.G)]
         env0 = self.envs[0]
@@ -41,11 +50,20 @@ class HostSelfPlayDriver:
                 stacked, legal, to_play, rng, self.spec,
                 add_exploration_noise=True,
             )
+            # One search per move: both the temperature-sampled action and
+            # the greedy action (used past temperature_threshold, reference
+            # self_play.py:151-157) come from the SAME search's visit counts,
+            # with independent selection keys.
+            k_hot, k_cold = jax.random.split(jax.random.fold_in(rng, 7))
             action = mcts_ops.select_action(
-                jax.random.fold_in(rng, 7), out.root_visit_counts, legal, temperature
+                k_hot, out.root_visit_counts, legal, temperature
+            )
+            greedy = mcts_ops.select_action(
+                k_cold, out.root_visit_counts, legal, jnp.float32(0.0)
             )
             return (
                 action,
+                greedy,
                 mcts_ops.visit_policy(out.root_visit_counts),
                 out.root_value,
                 out.root_predicted_value,
@@ -80,10 +98,20 @@ class HostSelfPlayDriver:
             parts.append(plane)
         return np.concatenate(parts, axis=1)
 
+    def _put(self, x):
+        return (
+            jax.device_put(x, self._sharding)
+            if self._sharding is not None
+            else jnp.asarray(x)
+        )
+
     def play(self, variables, temperature: float, num_moves: Optional[int] = None,
              add_noise: bool = True):
+        """Same contract as SelfPlayDriver.play: greedy-lane episodes arrive
+        in stats["eval_games"], never in the returned replay list."""
         K = num_moves or self.config.selfplay_chunk_moves
         completed = []
+        eval_games = []
         max_depth_seen = 0
         tt = self.config.temperature_threshold
         for _ in range(K):
@@ -91,25 +119,22 @@ class HostSelfPlayDriver:
             legal = np.stack([e.legal_actions_mask() for e in self.envs])
             to_play = np.array([e.to_play() for e in self.envs], np.int32)
             self._rng, k = jax.random.split(self._rng)
-            action, cv, rv, pv, depth = self._search(
+            action, greedy, cv, rv, pv, depth = self._search(
                 variables,
-                jnp.asarray(stacked),
-                jnp.asarray(legal),
-                jnp.asarray(to_play),
+                self._put(stacked),
+                self._put(legal),
+                self._put(to_play),
                 jnp.float32(temperature),
                 k,
             )
             action = np.asarray(action)
+            greedy = np.asarray(greedy)
             if tt:
                 # temperature 0 after the threshold (reference self_play.py:151-157)
-                self._rng, k2 = jax.random.split(self._rng)
-                greedy, *_ = self._search(
-                    variables, jnp.asarray(stacked), jnp.asarray(legal),
-                    jnp.asarray(to_play), jnp.float32(0.0), k,
-                )
-                action = np.where(
-                    self._move_count >= tt, np.asarray(greedy), action
-                )
+                action = np.where(self._move_count >= tt, greedy, action)
+            if self.greedy_lanes:
+                lanes = np.arange(self.G)
+                action = np.where(lanes < self.greedy_lanes, greedy, action)
             cv, rv = np.asarray(cv), np.asarray(rv)
             max_depth_seen = max(max_depth_seen, int(np.asarray(depth).max()))
 
@@ -126,7 +151,8 @@ class HostSelfPlayDriver:
                 self._move_count[g] += 1
                 done = done or self._move_count[g] >= self.config.max_moves
                 if done:
-                    completed.append(self._finish(g, env.to_play()))
+                    sink = eval_games if g < self.greedy_lanes else completed
+                    sink.append(self._finish(g, env.to_play()))
                     obs2 = env.reset()
                     self._obs_hist[g] = 0
                     self._act_hist[g] = 0
@@ -138,7 +164,7 @@ class HostSelfPlayDriver:
                 self._obs_hist[g, 0] = obs2
 
         stats = {"env_steps": K * self.G, "max_tree_depth": max_depth_seen,
-                 "pred_values": np.asarray(pv)}
+                 "pred_values": np.asarray(pv), "eval_games": eval_games}
         return completed, stats
 
     def _finish(self, g, final_to_play) -> GameHistory:

@@ -76,6 +76,8 @@ class MuZero:
 
         if self.config.results_path is None:
             self.config.results_path = self.config.default_results_path(game_name)
+        # JSON/CLI overrides deliver results_path as a str.
+        self.config.results_path = pathlib.Path(self.config.results_path)
 
         np.random.seed(self.config.seed)
 
@@ -125,40 +127,130 @@ class MuZero:
         self.checkpoint["num_played_games"] = replay.num_played_games
         self.checkpoint["num_played_steps"] = replay.num_played_steps
 
-    def _make_driver(self, runner, num_games=None, seed=None):
+    def _make_driver(self, runner, num_games=None, seed=None, mesh=None,
+                     greedy_lanes=0):
         """Device driver for jittable envs, host driver otherwise."""
         env = self.make_env()
         if getattr(env, "host_env", False):
             return HostSelfPlayDriver(
-                self.make_env, runner, self.config, num_games=num_games, seed=seed
+                self.make_env, runner, self.config, num_games=num_games,
+                seed=seed, mesh=mesh, greedy_lanes=greedy_lanes,
             )
         return SelfPlayDriver(
-            env, runner, self.config, num_games=num_games, seed=seed
+            env, runner, self.config, num_games=num_games, seed=seed,
+            mesh=mesh, greedy_lanes=greedy_lanes,
         )
 
     # ------------------------------------------------------------------
+    def _reanalyse_sweep(self, replay, reanalyse_fn, state):
+        """Batched value refresh (reference Reanalyse actor,
+        replay_buffer.py:328-373, re-designed as scheduled device sweeps).
+
+        Refreshes up to config.reanalyse_games_per_interval games round-robin
+        in fixed-size padded chunks (one compile), so the whole buffer is
+        refreshed at ~buffer rate instead of one game per interval.
+        Returns the number of games refreshed.
+        """
+        cfg = self.config
+        picked = replay.reanalyse_pick(cfg.reanalyse_games_per_interval)
+        if not picked:
+            return 0
+        CHUNK = int(cfg.reanalyse_chunk_positions)
+        obs_parts = [replay.reanalyse_observations(gh) for _, gh in picked]
+        lengths = [o.shape[0] for o in obs_parts]
+        all_obs = np.concatenate(obs_parts)
+        P_total = all_obs.shape[0]
+        variables = self._variables(state)
+        out = np.empty((P_total,), np.float32)
+        for start in range(0, P_total, CHUNK):
+            block = all_obs[start : start + CHUNK]
+            L = block.shape[0]
+            if L < CHUNK:
+                block = np.concatenate(
+                    [block, np.zeros((CHUNK - L,) + block.shape[1:], np.float32)]
+                )
+            vals = reanalyse_fn(variables, jnp.asarray(block))
+            out[start : start + L] = np.asarray(vals)[:L]
+        off = 0
+        for (gid, _), L in zip(picked, lengths):
+            replay.update_reanalysed_values(gid, out[off : off + L])
+            off += L
+        return len(picked)
+
+    # ------------------------------------------------------------------
     def train(self, log_in_tensorboard=True):
-        """Synchronous actor-learner training (reference muzero.py:132-208)."""
+        """Synchronous actor-learner training (reference muzero.py:132-208).
+
+        Multi-chip is the product path: when more than one device is visible
+        (or config.mesh_dp/mesh_mp ask for it), a dp×mp
+        `jax.sharding.Mesh` is built once and BOTH programs ride it — the
+        training step (batch over dp, large kernels over mp; the reference's
+        DataParallel counterpart, models.py:98-124) and the self-play driver
+        (the G lanes sharded over dp; the reference's SelfPlay×N actor fleet,
+        muzero.py:177-196)."""
         cfg = self.config
         cfg.results_path.mkdir(parents=True, exist_ok=True)
 
         runner = self.runner
         state = self._restore_state()
-        train_step = make_train_step(runner, cfg)
-        fused_train = (
-            make_fused_train_steps(runner, cfg)
-            if cfg.fused_train_steps and cfg.fused_train_steps > 1
-            else None
+
+        from muzero_general_tpu.parallel import (
+            make_sharded_fused_train_steps,
+            make_sharded_train_step,
+            mesh_from_config,
+            shard_batch,
+            shard_stacked_batches,
+            shard_train_state,
         )
 
-        driver = self._make_driver(runner, seed=cfg.seed)
+        mesh = mesh_from_config(cfg)
+        train_mesh = (
+            mesh
+            if mesh is not None and cfg.batch_size % mesh.shape["dp"] == 0
+            else None
+        )
+        if mesh is not None and train_mesh is None:
+            print(
+                f"[train] batch_size={cfg.batch_size} not divisible by mesh "
+                f"dp={mesh.shape['dp']}; training runs unsharded."
+            )
+        if train_mesh is not None:
+            state = shard_train_state(state, train_mesh)
+            train_step = make_sharded_train_step(runner, cfg, train_mesh)
+            fused_train = (
+                make_sharded_fused_train_steps(runner, cfg, train_mesh)
+                if cfg.fused_train_steps and cfg.fused_train_steps > 1
+                else None
+            )
+        else:
+            train_step = make_train_step(runner, cfg)
+            fused_train = (
+                make_fused_train_steps(runner, cfg)
+                if cfg.fused_train_steps and cfg.fused_train_steps > 1
+                else None
+            )
+
+        def place_batch(batch):
+            if train_mesh is not None:
+                return shard_batch(batch, train_mesh)
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+
+        def place_batches(batches):
+            if train_mesh is not None:
+                return shard_stacked_batches(batches, train_mesh)
+            return {k: jnp.asarray(v) for k, v in batches.items()}
+
+        # Evaluation rides lane 0 of the main self-play program at
+        # temperature 0 (the reference's dedicated test-mode worker,
+        # self_play.py:54-90) — continuous greedy eval with zero extra
+        # dispatches. 2-player games with a scripted opponent keep a separate
+        # periodic evaluation game instead.
         needs_self_test_lane = not (
             len(cfg.players) > 1 and cfg.opponent not in (None, "self")
         )
-        test_driver = (
-            self._make_driver(runner, num_games=1, seed=cfg.seed + cfg.num_workers)
-            if needs_self_test_lane
-            else None
+        driver = self._make_driver(
+            runner, seed=cfg.seed, mesh=mesh,
+            greedy_lanes=1 if needs_self_test_lane else 0,
         )
 
         if self.replay_buffer_state is not None:
@@ -212,14 +304,16 @@ class MuZero:
                 temperature = cfg.visit_softmax_temperature_fn(training_step)
 
                 # ---- self-play chunk (all G lanes advance K moves) -------
+                # Lane 0 is the greedy eval lane (temperature 0, excluded
+                # from replay) when needs_self_test_lane.
                 t0 = time.time()
                 games, stats = driver.play(variables, temperature)
                 phase_time["selfplay"] += time.time() - t0
                 for gh in games:
                     replay.save_game(gh)
 
-                # ---- evaluation lane (greedy, reference test_mode) -------
-                # 1-player (or opponent="self"): a continuous greedy lane.
+                # ---- evaluation (reference test_mode worker) --------------
+                # self/1-player: eval games stream out of the greedy lane.
                 # 2-player with a scripted opponent: a full game vs
                 # config.opponent every few loops (reference self_play.py:54-60
                 # plays vs config.opponent in test mode).
@@ -229,26 +323,19 @@ class MuZero:
                     and cfg.opponent not in (None, "self")
                     and cfg.opponent != "human"
                 )
-                if use_opponent:
-                    test_games = []
-                    if loop_counter % 4 == 1:
-                        from muzero_general_tpu.evaluate import (
-                            play_against_opponent,
-                        )
+                test_games = stats.get("eval_games", [])
+                if use_opponent and loop_counter % 4 == 1:
+                    from muzero_general_tpu.evaluate import (
+                        play_against_opponent,
+                    )
 
-                        test_games = [
-                            play_against_opponent(
-                                self.make_env(), runner, cfg, variables,
-                                cfg.opponent, cfg.muzero_player,
-                                seed=cfg.seed + cfg.num_workers + loop_counter,
-                            )
-                        ]
-                elif loop_counter % 4 == 1:
-                    # The G=1 greedy lane costs as much device time per move
-                    # as the whole G-lane chunk; sample it every 4th loop.
-                    test_games, _ = test_driver.play(variables, 0.0)
-                else:
-                    test_games = []
+                    test_games = [
+                        play_against_opponent(
+                            self.make_env(), runner, cfg, variables,
+                            cfg.opponent, cfg.muzero_player,
+                            seed=cfg.seed + cfg.num_workers + loop_counter,
+                        )
+                    ]
                 phase_time["test"] += time.time() - t0
                 for gh in test_games:
                     self.checkpoint["total_reward"] = float(gh.rewards.sum())
@@ -274,12 +361,10 @@ class MuZero:
                         # Fused path: M batches, ONE device dispatch.
                         parts = [replay.get_batch() for _ in range(M)]
                         index_batches = [ib for ib, _ in parts]
-                        batches = {
-                            k: jnp.asarray(
-                                np.stack([b[k] for _, b in parts])
-                            )
+                        batches = place_batches({
+                            k: np.stack([b[k] for _, b in parts])
                             for k in parts[0][1]
-                        }
+                        })
                         phase_time["batch"] += time.time() - t0
                         t0 = time.time()
                         state, metrics, priorities_m = fused_train(state, batches)
@@ -290,7 +375,7 @@ class MuZero:
                             )
                     else:
                         index_batch, batch = replay.get_batch()
-                        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                        batch = place_batch(batch)
                         phase_time["batch"] += time.time() - t0
                         t0 = time.time()
                         state, metrics, priorities = train_step(state, batch)
@@ -313,22 +398,8 @@ class MuZero:
                         > (prev_step // cfg.reanalyse_interval)
                         and replay.buffer
                     ):
-                        gid, gh, _ = replay.sample_game(force_uniform=True)
-                        obs = replay.reanalyse_observations(gh)
-                        # Pad the position count to a bucket so the jitted
-                        # refresh compiles once per bucket, not per length.
-                        L = obs.shape[0]
-                        pad = min(cfg.max_moves, -(-L // 64) * 64)
-                        obs = np.concatenate(
-                            [obs, np.zeros((pad - L,) + obs.shape[1:], np.float32)]
-                        ) if pad > L else obs
-                        values = reanalyse_fn(
-                            self._variables(state), jnp.asarray(obs)
-                        )
-                        replay.update_reanalysed_values(
-                            gid, np.asarray(values)[:L]
-                        )
-                        self.checkpoint["num_reanalysed_games"] += 1
+                        n = self._reanalyse_sweep(replay, reanalyse_fn, state)
+                        self.checkpoint["num_reanalysed_games"] += n
                     phase_time["reanalyse"] += time.time() - t0
                     if (training_step // cfg.checkpoint_interval) > (
                         prev_step // cfg.checkpoint_interval

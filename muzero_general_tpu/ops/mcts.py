@@ -31,6 +31,20 @@ import jax.numpy as jnp
 from muzero_general_tpu.ops.support import support_to_scalar
 
 
+def resolve_fast_path_flag(flag, config) -> bool:
+    """Resolve a fast-path knob that may be True/False/"auto".
+
+    "auto" = engage on real accelerator backends (where the Pallas kernels
+    compile natively); plain CPU runs keep the XLA path unless
+    config.pallas_interpret explicitly opts into the interpreter.
+    """
+    if flag == "auto":
+        return jax.default_backend() != "cpu" or bool(
+            getattr(config, "pallas_interpret", False)
+        )
+    return bool(flag)
+
+
 class SearchSpec(NamedTuple):
     """Static search hyperparameters (config group 'Self-Play', §2.7)."""
 
@@ -57,7 +71,9 @@ class SearchSpec(NamedTuple):
     def from_config(cls, config, batch_size=None):
         if len(config.players) > 2:
             raise NotImplementedError("More than two player mode not implemented.")
-        use_pallas = bool(getattr(config, "use_pallas_mcts", False))
+        use_pallas = resolve_fast_path_flag(
+            getattr(config, "use_pallas_mcts", False), config
+        )
         if use_pallas and batch_size is not None:
             from muzero_general_tpu.ops.mcts_pallas import choose_block
 
@@ -80,6 +96,7 @@ class SearchSpec(NamedTuple):
             support_size=config.support_size,
             max_depth=config.num_simulations,
             use_pallas=use_pallas,
+            pallas_interpret=bool(getattr(config, "pallas_interpret", False)),
         )
 
 
@@ -193,7 +210,14 @@ def _simulate_once(tree: Tree, sim, rng, spec: SearchSpec, recurrent_fn, root_to
             discount=spec.discount,
             A=tree.root_legal.shape[1],
             max_depth=spec.max_depth,
-            tie_jitter=0.0 if spec.deterministic_tie_break else mcts_pallas.TIE_JITTER,
+            # Same zeroing rule as mcts_fused.FusedSpec.from_config: interpret
+            # runs use deterministic lowest-index tie-break (see the
+            # TIE_JITTER note in ops/mcts_pallas.py).
+            tie_jitter=(
+                0.0
+                if (spec.deterministic_tie_break or spec.pallas_interpret)
+                else mcts_pallas.TIE_JITTER
+            ),
             interpret=spec.pallas_interpret,
         )
         path = path.at[b_idx, leaf_depth].set(new_node)
@@ -445,9 +469,14 @@ def select_action(rng, visit_counts, legal_mask, temperature):
 
     Parity: reference self_play.py:222-245 — T=0 → argmax, T=inf → uniform
     over root children (legal actions), else visits^(1/T) distribution.
-    `temperature` is a traced scalar so the schedule changes without recompile.
+    `temperature` is a traced scalar (so the schedule changes without
+    recompile) or a per-lane [B] vector (the folded-in greedy eval lane
+    plays at temperature 0 inside the same batch).
     """
     visits = visit_counts.astype(jnp.float32)
+    temperature = jnp.asarray(temperature, jnp.float32)
+    if temperature.ndim == visits.ndim - 1:
+        temperature = temperature[..., None]  # [B] -> [B, 1] broadcast
     t_safe = jnp.where(
         (temperature <= 0) | ~jnp.isfinite(temperature), 1.0, temperature
     )

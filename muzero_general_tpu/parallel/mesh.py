@@ -109,3 +109,43 @@ def make_sharded_train_step(runner, config, mesh: Mesh):
 
     raw = make_train_step(runner, config, jit=False)
     return jax.jit(raw, donate_argnums=(0,))
+
+
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """[M, B, ...] fused-train batch stacks: dp on the batch axis."""
+    return NamedSharding(mesh, P(None, "dp"))
+
+
+def shard_stacked_batches(batches, mesh: Mesh):
+    """Place an [M, B, ...] batch-stack dict on the mesh (axis 1 over dp)."""
+    s = stacked_batch_sharding(mesh)
+    return {k: jax.device_put(v, s) for k, v in batches.items()}
+
+
+def make_sharded_fused_train_steps(runner, config, mesh: Mesh):
+    """Mesh variant of trainer.make_fused_train_steps (M steps, 1 dispatch)."""
+    from muzero_general_tpu.trainer import make_fused_train_steps
+
+    raw = make_fused_train_steps(runner, config, jit=False)
+    return jax.jit(raw, donate_argnums=(0,))
+
+
+def mesh_from_config(config) -> Mesh | None:
+    """The product-path mesh: dp×mp over the available devices.
+
+    config.mesh_dp None = all devices not used by mp go to dp. Returns None
+    when the result would be a trivial 1-device mesh (single-chip runs skip
+    the sharding machinery entirely).
+    """
+    devices = jax.devices()
+    mp = max(1, int(getattr(config, "mesh_mp", 1) or 1))
+    dp = config.mesh_dp if getattr(config, "mesh_dp", None) else max(
+        1, len(devices) // mp
+    )
+    if dp * mp <= 1:
+        return None
+    if dp * mp > len(devices):
+        raise ValueError(
+            f"mesh_dp*mesh_mp = {dp}*{mp} exceeds {len(devices)} devices"
+        )
+    return create_mesh(num_dp=dp, num_mp=mp, devices=devices)

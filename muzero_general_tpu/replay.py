@@ -142,6 +142,7 @@ class ReplayBuffer:
         self.num_played_steps = num_played_steps
         self.total_samples = sum(len(gh) for gh in self.buffer.values())
         self.rng = np.random.default_rng(config.seed)
+        self._reanalyse_cursor = 0
 
     # ------------------------------------------------------------------
     def save_game(self, gh: GameHistory):
@@ -305,6 +306,24 @@ class ReplayBuffer:
             self.buffer[game_id].reanalysed_predicted_root_values = values.astype(
                 np.float32
             )
+
+    def reanalyse_pick(self, n: int):
+        """Up to n (game_id, GameHistory) pairs, round-robin over the buffer.
+
+        The reference's Reanalyse actor samples uniformly as fast as it can
+        run (replay_buffer.py:328-373); the scheduled equivalent cycles the
+        whole buffer so every game's values are refreshed at ~buffer rate
+        instead of resampling lucky games.
+        """
+        if not self.buffer:
+            return []
+        ids = sorted(self.buffer.keys())
+        import bisect
+
+        i = bisect.bisect_left(ids, self._reanalyse_cursor)
+        picks = [ids[(i + j) % len(ids)] for j in range(min(n, len(ids)))]
+        self._reanalyse_cursor = picks[-1] + 1
+        return [(gid, self.buffer[gid]) for gid in picks]
 
     def reanalyse_observations(self, gh: GameHistory):
         """Stacked observations for every position of a game [L, C', H, W]."""

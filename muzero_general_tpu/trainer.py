@@ -215,12 +215,14 @@ def make_train_step(runner, config, donate=True, jit=True):
     return jax.jit(train_step)
 
 
-def make_fused_train_steps(runner, config, donate=True):
+def make_fused_train_steps(runner, config, donate=True, jit=True):
     """Train M batches in ONE dispatch: lax.scan of the train step.
 
     Amortizes host->device dispatch latency (decisive when the chip sits
     behind a network tunnel). batches: dict of arrays with leading axis M.
     Returns (state, metrics of the LAST step, priorities [M, B, U+1]).
+    jit=False returns the raw function (re-jitted by parallel.mesh with
+    mesh-placed operands).
     """
     step = make_train_step(runner, config, jit=False)
 
@@ -233,6 +235,8 @@ def make_fused_train_steps(runner, config, donate=True):
         last_metrics = {k: v[-1] for k, v in metrics.items()}
         return state, last_metrics, priorities
 
+    if not jit:
+        return train_steps
     if donate:
         return jax.jit(train_steps, donate_argnums=(0,))
     return jax.jit(train_steps)

@@ -177,3 +177,44 @@ def test_hostplay_driver_with_lunarlander():
         assert gh.actions.shape == (L + 1,)
         assert gh.observations.shape == (L, 1, 1, 8)
         np.testing.assert_allclose(gh.child_visits.sum(-1), 1.0, atol=1e-5)
+
+
+def test_hostplay_threshold_matches_selfplay_semantics():
+    """hostplay runs ONE search per move; past temperature_threshold the
+    action is the greedy argmax of the SAME search's visit counts — the
+    per-lane rule the device driver applies (selfplay.py one_move;
+    reference self_play.py:151-157)."""
+    import pytest
+
+    pytest.importorskip("gymnasium")
+    from muzero_general_tpu.games.lunarlander import MuZeroConfig, make_env
+    from muzero_general_tpu.hostplay import HostSelfPlayDriver
+    from muzero_general_tpu.models import MuZeroNetwork
+
+    cfg = MuZeroConfig()
+    cfg.num_simulations = 4
+    cfg.parallel_games = 2
+    cfg.selfplay_chunk_moves = 4
+    cfg.max_moves = 8
+    cfg.temperature_threshold = 0  # greedy from move 0
+    runner = MuZeroNetwork(cfg)
+    variables = runner.init(jax.random.PRNGKey(0))
+
+    driver = HostSelfPlayDriver(make_env, runner, cfg, seed=0)
+    searches = []
+    orig = driver._search
+
+    def counting_search(*args):
+        searches.append(1)
+        out = orig(*args)
+        return out
+
+    driver._search = counting_search
+    _, stats = driver.play(variables, temperature=1.0)
+    # one search per move, not two
+    assert len(searches) == cfg.selfplay_chunk_moves
+    # greedy actions == argmax of the recorded visit distribution
+    for g in range(cfg.parallel_games):
+        p = driver._records[g]
+        for cv, a in zip(p["cv"], p["act"]):
+            assert a == int(np.argmax(cv))

@@ -45,6 +45,75 @@ def test_driver_produces_consistent_histories():
         np.testing.assert_allclose(gh.rewards[1:], 1.0)
 
 
+def test_greedy_eval_lane_partitioned():
+    """Lane 0 (greedy eval) episodes arrive in stats['eval_games'] only."""
+    cfg = tiny_config()
+    cfg.parallel_games = 4
+    env = make_env()
+    runner = MuZeroNetwork(cfg)
+    variables = runner.init(jax.random.PRNGKey(0))
+    driver = SelfPlayDriver(env, runner, cfg, seed=0, greedy_lanes=1)
+
+    completed, evals = [], []
+    for _ in range(8):
+        games, stats = driver.play(variables, temperature=1.0)
+        completed.extend(games)
+        evals.extend(stats["eval_games"])
+    # With max_moves=12 and 40 moves/lane, every lane finished >= 1 episode.
+    assert evals, "greedy lane produced no eval episodes"
+    assert completed, "non-eval lanes produced no replay episodes"
+    # Exactly one lane is the eval lane: its episode count is ~1/3 of the
+    # replay lanes' combined count.
+    assert len(completed) >= 2 * len(evals)
+
+
+def test_sharded_selfplay_matches_contract():
+    """G lanes sharded over the dp mesh axis: same invariants as unsharded."""
+    from muzero_general_tpu.parallel import create_mesh
+
+    cfg = tiny_config()
+    cfg.parallel_games = 16
+    mesh = create_mesh(num_dp=8, num_mp=1)
+    env = make_env()
+    runner = MuZeroNetwork(cfg)
+    variables = runner.init(jax.random.PRNGKey(0))
+    driver = SelfPlayDriver(env, runner, cfg, seed=0, mesh=mesh,
+                            greedy_lanes=1)
+    assert driver.dp == 8
+
+    completed = []
+    for _ in range(6):
+        games, stats = driver.play(variables, temperature=1.0)
+        completed.extend(games)
+        assert stats["env_steps"] == cfg.parallel_games * cfg.selfplay_chunk_moves
+    assert completed
+    for gh in completed:
+        L = len(gh)
+        assert 0 < L <= cfg.max_moves
+        np.testing.assert_allclose(gh.child_visits.sum(-1), 1.0, atol=1e-5)
+        np.testing.assert_allclose(gh.rewards[1:], 1.0)
+
+    # Lanes must not be correlated across shards: with per-shard PRNG keys
+    # the 8 shards' action sequences differ.
+    firsts = {tuple(gh.actions[1:6]) for gh in completed[:8]}
+    assert len(firsts) > 1
+
+
+def test_sharded_selfplay_indivisible_falls_back():
+    from muzero_general_tpu.parallel import create_mesh
+
+    cfg = tiny_config()
+    cfg.parallel_games = 6  # not divisible by dp=8
+    mesh = create_mesh(num_dp=8, num_mp=1)
+    env = make_env()
+    runner = MuZeroNetwork(cfg)
+    variables = runner.init(jax.random.PRNGKey(0))
+    driver = SelfPlayDriver(env, runner, cfg, seed=0, mesh=mesh)
+    assert driver.dp == 1
+    _, stats = driver.play(variables, temperature=1.0)
+    assert stats["env_steps"] == 6 * cfg.selfplay_chunk_moves
+
+
 def test_episodes_deterministic_given_seed():
     cfg = tiny_config()
     env = make_env()

@@ -104,6 +104,82 @@ def test_sharded_train_step_matches_single_device(dp, mp):
         )
 
 
+def test_mesh_train_end_to_end(tmp_path):
+    """`MuZero(...).train()` on the 8-device mesh: dp-sharded self-play +
+    sharded training + streaming greedy eval + batched reanalyse, with
+    unchanged learning mechanics (VERDICT r1 item 1 done-condition)."""
+    from muzero_general_tpu.muzero import MuZero
+
+    mz = MuZero(
+        "cartpole",
+        {
+            "training_steps": 12,
+            "results_path": str(tmp_path / "mesh_e2e"),
+            "parallel_games": 16,
+            "selfplay_chunk_moves": 4,
+            "num_simulations": 6,
+            "batch_size": 16,
+            "fused_train_steps": 4,
+            "reanalyse_interval": 4,
+            "checkpoint_interval": 4,
+            "max_moves": 20,
+        },
+    )
+    ckpt = mz.train(log_in_tensorboard=False)
+    assert ckpt["training_step"] == 12
+    assert ckpt["num_played_games"] > 0
+    # The greedy eval lane streamed at least one finished episode.
+    assert ckpt["episode_length"] > 0
+    # Batched reanalyse refreshed games at ~buffer rate (not 1 per interval).
+    assert ckpt["num_reanalysed_games"] >= ckpt["num_played_games"]
+    assert np.isfinite(ckpt["total_loss"])
+
+
+def test_reanalyse_sweep_replaces_buffer_wide(tmp_path):
+    """Every buffered game's stale root values get replaced by the sweep."""
+    from muzero_general_tpu.muzero import MuZero
+    from muzero_general_tpu.replay import GameHistory
+
+    mz = MuZero(
+        "cartpole",
+        {"results_path": str(tmp_path / "reanalyse"),
+         "reanalyse_games_per_interval": 8, "reanalyse_chunk_positions": 64},
+    )
+    from muzero_general_tpu.replay import ReplayBuffer
+
+    replay = ReplayBuffer(mz.config)
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        L = int(rng.integers(3, 9))
+        replay.save_game(
+            GameHistory(
+                observations=rng.normal(size=(L, 1, 1, 4)).astype(np.float32),
+                actions=np.zeros(L + 1, np.int32),
+                rewards=np.ones(L + 1, np.float32),
+                to_play=np.zeros(L + 1, np.int32),
+                child_visits=np.full((L, 2), 0.5, np.float32),
+                root_values=np.zeros(L, np.float32),
+            )
+        )
+
+    state = mz._restore_state()
+
+    def fake_reanalyse_fn(variables, obs):
+        return jnp.full((obs.shape[0],), 7.25)
+
+    n = mz._reanalyse_sweep(replay, fake_reanalyse_fn, state)
+    assert n == 5
+    for gh in replay.buffer.values():
+        assert gh.reanalysed_predicted_root_values is not None
+        np.testing.assert_allclose(gh.reanalysed_predicted_root_values, 7.25)
+
+    # Round-robin: a second pick starts over (cursor wrapped past the end).
+    picked = replay.reanalyse_pick(3)
+    assert [gid for gid, _ in picked] == [0, 1, 2]
+    picked = replay.reanalyse_pick(3)
+    assert [gid for gid, _ in picked] == [3, 4, 0]
+
+
 def test_dryrun_multichip_entry():
     import sys
 
