@@ -1,6 +1,6 @@
 """Benchmark: batched self-play throughput vs the reference's architecture.
 
-Prints ONE JSON line:
+Prints ONE JSON line (default lane):
   {"metric": "selfplay_env_steps_per_s", "value": N, "unit": "steps/s",
    "vs_baseline": N}
 
@@ -16,7 +16,14 @@ cost is reproduced faithfully; this *over*-estimates reference throughput
 (Python tree bookkeeping, Ray RPC, and env stepping are free in our
 denominator).
 
-Usage: python bench.py [--games N] [--moves N] [--verbose]
+Second lane (`--lane resnet`): the board-game path — connect4's shipped
+config (3-block × 64-channel ResNet, 200 simulations, reference
+games/connect4.py:38-66) — reporting self-play env-steps/s, node
+expansions/s, train-steps/s, and an MXU utilization estimate
+(XLA-counted model FLOPs / step time / peak). Results recorded in RESULTS.md.
+
+Usage: python bench.py [--lane cartpole|resnet] [--games N] [--moves N]
+                       [--verbose] [--dtype bfloat16|float32]
 """
 
 import argparse
@@ -24,10 +31,13 @@ import json
 import sys
 import time
 
+# Peak dense bf16 FLOP/s of the bench chip (v5e-class: 197 TFLOP/s bf16).
+# MFU numbers are relative to this; override with --peak-tflops.
+PEAK_TFLOPS_BF16 = 197.0
+
 
 def measure_ours(num_games=4096, num_moves=8, num_simulations=50):
     import jax
-    import jax.numpy as jnp
 
     from muzero_general_tpu.games.cartpole import MuZeroConfig, make_env
     from muzero_general_tpu.models import MuZeroNetwork
@@ -37,9 +47,9 @@ def measure_ours(num_games=4096, num_moves=8, num_simulations=50):
     cfg.num_simulations = num_simulations
     cfg.parallel_games = num_games
     cfg.selfplay_chunk_moves = num_moves
-    cfg.use_pallas_mcts = True  # staged pallas kernels: ~3x search throughput
-    # Whole-search single-kernel fusion (ops/mcts_fused.py) supersedes the
-    # staged path when shapes allow; staged/XLA remain the fallbacks.
+    # Force the fast paths on regardless of backend ("auto" would pick them
+    # on TPU anyway; explicit True keeps the bench meaning fixed).
+    cfg.use_pallas_mcts = True
     cfg.use_fused_search = True
 
     env = make_env()
@@ -100,20 +110,221 @@ def measure_reference_pattern(num_moves=30, num_simulations=50):
     return best  # env-steps/s for one worker (num_workers=1)
 
 
+def measure_resnet(num_games=256, num_moves=4, dtype="bfloat16",
+                   peak_tflops=PEAK_TFLOPS_BF16, train_reps=6):
+    """Board-game lane: connect4 shipped config (ResNet 3x64, 200 sims)."""
+    import jax
+    import numpy as np
+
+    from muzero_general_tpu.games.connect4 import MuZeroConfig, make_env
+    from muzero_general_tpu.models import MuZeroNetwork
+    from muzero_general_tpu.selfplay import SelfPlayDriver
+    from muzero_general_tpu.trainer import init_train_state, make_fused_train_steps
+
+    cfg = MuZeroConfig()
+    cfg.parallel_games = num_games
+    cfg.selfplay_chunk_moves = num_moves
+    cfg.compute_dtype = dtype
+
+    env = make_env()
+    runner = MuZeroNetwork(cfg)
+    variables = runner.init(jax.random.PRNGKey(0))
+    driver = SelfPlayDriver(env, runner, cfg, seed=0)
+
+    driver.play(variables, temperature=1.0)  # compile
+    t0 = time.time()
+    reps = 2
+    for _ in range(reps):
+        _, stats = driver.play(variables, temperature=1.0)
+    dt = (time.time() - t0) / reps
+    sp_steps_per_s = stats["env_steps"] / dt
+    expansions_per_s = sp_steps_per_s * cfg.num_simulations
+
+    # ---- training step throughput + MFU ---------------------------------
+    M = 8
+    B, U = cfg.batch_size, cfg.num_unroll_steps
+    A = len(cfg.action_space)
+    c, h, w = cfg.observation_shape
+    rng = np.random.default_rng(0)
+    batches = {
+        "observation": rng.normal(size=(M, B, c, h, w)).astype(np.float32),
+        "action": rng.integers(0, A, (M, B, U + 1)).astype(np.int32),
+        "target_value": rng.normal(size=(M, B, U + 1)).astype(np.float32),
+        "target_reward": rng.normal(size=(M, B, U + 1)).astype(np.float32),
+        "target_policy": rng.dirichlet(np.ones(A), (M, B, U + 1)).astype(
+            np.float32
+        ),
+        "weight": np.ones((M, B), np.float32),
+        "gradient_scale": np.full((M, B, U + 1), U, np.float32),
+    }
+    batches = {k: jax.numpy.asarray(v) for k, v in batches.items()}
+    state = init_train_state(runner, cfg, jax.random.PRNGKey(0))
+    fused = make_fused_train_steps(runner, cfg, donate=False)
+
+    # XLA's own FLOP count for the compiled M-step program.
+    compiled = (
+        jax.jit(make_fused_train_steps(runner, cfg, jit=False))
+        .lower(state, batches)
+        .compile()
+    )
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops_per_dispatch = float(cost.get("flops", 0.0)) if cost else 0.0
+
+    state, metrics, _ = fused(state, batches)
+    jax.block_until_ready(metrics["total_loss"])
+    t0 = time.time()
+    for _ in range(train_reps):
+        state, metrics, _ = fused(state, batches)
+    jax.block_until_ready(metrics["total_loss"])
+    train_dt = (time.time() - t0) / train_reps
+    train_steps_per_s = M / train_dt
+    achieved_tflops = flops_per_dispatch / train_dt / 1e12
+    mfu = achieved_tflops / peak_tflops
+
+    return {
+        "selfplay_env_steps_per_s": round(sp_steps_per_s, 1),
+        "expansions_per_s": round(expansions_per_s, 1),
+        "train_steps_per_s": round(train_steps_per_s, 2),
+        "train_achieved_tflops": round(achieved_tflops, 2),
+        "train_mfu_vs_peak": round(mfu, 4),
+        "flops_per_train_step": flops_per_dispatch / M,
+        "dtype": dtype,
+        "lanes": num_games,
+        "num_simulations": cfg.num_simulations,
+        "batch_size": B,
+        "unroll": U,
+    }
+
+
+def measure_atari_train(dtype="bfloat16", peak_tflops=PEAK_TFLOPS_BF16,
+                        batch_size=256, train_reps=4):
+    """Atari-class train step: 16-block x 256-channel downsample ResNet
+    (reference games/atari.py:30-106) at a feasible single-chip batch.
+    This is the FLOPs-heavy workload where MXU utilization is meaningful
+    (connect4's 6x7 convs are latency-bound)."""
+    import jax
+    import numpy as np
+
+    from muzero_general_tpu.games.atari import MuZeroConfig
+    from muzero_general_tpu.models import MuZeroNetwork
+    from muzero_general_tpu.trainer import init_train_state, make_fused_train_steps
+
+    cfg = MuZeroConfig()
+    cfg.compute_dtype = dtype
+    cfg.batch_size = batch_size  # reference: 1024 over a GPU fleet
+    M = 2
+    B, U = cfg.batch_size, cfg.num_unroll_steps
+    A = len(cfg.action_space)
+    c, h, w = cfg.observation_shape
+    n = cfg.stacked_observations
+    C = c * (n + 1) + n
+
+    runner = MuZeroNetwork(cfg)
+    rng = np.random.default_rng(0)
+    batches = {
+        "observation": rng.normal(size=(M, B, C, h, w)).astype(np.float32),
+        "action": rng.integers(0, A, (M, B, U + 1)).astype(np.int32),
+        "target_value": rng.normal(size=(M, B, U + 1)).astype(np.float32),
+        "target_reward": rng.normal(size=(M, B, U + 1)).astype(np.float32),
+        "target_policy": rng.dirichlet(np.ones(A), (M, B, U + 1)).astype(
+            np.float32
+        ),
+        "weight": np.ones((M, B), np.float32),
+        "gradient_scale": np.full((M, B, U + 1), U, np.float32),
+    }
+    batches = {k: jax.numpy.asarray(v) for k, v in batches.items()}
+    state = init_train_state(runner, cfg, jax.random.PRNGKey(0))
+    fused = make_fused_train_steps(runner, cfg, donate=False)
+    compiled = (
+        jax.jit(make_fused_train_steps(runner, cfg, jit=False))
+        .lower(state, batches)
+        .compile()
+    )
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops_per_dispatch = float(cost.get("flops", 0.0)) if cost else 0.0
+
+    state, metrics, _ = fused(state, batches)
+    jax.block_until_ready(metrics["total_loss"])
+    t0 = time.time()
+    for _ in range(train_reps):
+        state, metrics, _ = fused(state, batches)
+    jax.block_until_ready(metrics["total_loss"])
+    train_dt = (time.time() - t0) / train_reps
+    achieved_tflops = flops_per_dispatch / train_dt / 1e12
+    return {
+        "train_steps_per_s": round(M / train_dt, 3),
+        "train_achieved_tflops": round(achieved_tflops, 2),
+        "train_mfu_vs_peak": round(achieved_tflops / peak_tflops, 4),
+        "flops_per_train_step": flops_per_dispatch / M,
+        "dtype": dtype,
+        "batch_size": B,
+        "unroll": U,
+        "stacked_observations": n,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--games", type=int, default=4096)
-    ap.add_argument("--moves", type=int, default=8)
+    ap.add_argument(
+        "--lane", choices=["cartpole", "resnet", "atari_train"],
+        default="cartpole",
+    )
+    ap.add_argument("--games", type=int, default=None)
+    ap.add_argument("--moves", type=int, default=None)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--peak-tflops", type=float, default=PEAK_TFLOPS_BF16)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
-    ours, chunk_dt = measure_ours(args.games, args.moves)
+    if args.lane == "atari_train":
+        r = measure_atari_train(
+            dtype=args.dtype, peak_tflops=args.peak_tflops,
+            batch_size=args.games or 256,
+        )
+        if args.verbose:
+            print(f"# atari train lane: {r}", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "atari_resnet_train_steps_per_s",
+                    "value": r["train_steps_per_s"],
+                    "unit": "steps/s",
+                    "detail": r,
+                }
+            )
+        )
+        return
+
+    if args.lane == "resnet":
+        r = measure_resnet(
+            num_games=args.games or 256,
+            num_moves=args.moves or 4,
+            dtype=args.dtype,
+            peak_tflops=args.peak_tflops,
+        )
+        if args.verbose:
+            print(f"# resnet lane: {r}", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "connect4_resnet_env_steps_per_s",
+                    "value": r["selfplay_env_steps_per_s"],
+                    "unit": "steps/s",
+                    "detail": r,
+                }
+            )
+        )
+        return
+
+    ours, chunk_dt = measure_ours(args.games or 4096, args.moves or 8)
     baseline = measure_reference_pattern()
 
     if args.verbose:
         print(
-            f"# ours: {ours:.0f} env-steps/s ({args.games} lanes, "
-            f"{args.moves} moves in {chunk_dt * 1e3:.0f} ms); "
+            f"# ours: {ours:.0f} env-steps/s ({args.games or 4096} lanes, "
+            f"{args.moves or 8} moves in {chunk_dt * 1e3:.0f} ms); "
             f"node expansions/s: {ours * 50:.2e}; "
             f"reference-pattern baseline: {baseline:.1f} env-steps/s",
             file=sys.stderr,

@@ -136,6 +136,10 @@ class MuZeroConfig:
         # Train steps fused into one device dispatch (scan) — amortizes
         # dispatch latency to a remote/tunneled chip. 1 disables fusion.
         self.fused_train_steps = 8
+        # Background-thread batch assembly (prefetch.BatchPrefetcher): hides
+        # host batch time behind device time (the reference trainer's
+        # one-deep pipeline, trainer.py:66-72). False = assemble inline.
+        self.batch_prefetch = True
         # Fused Pallas MCTS kernels (ops/mcts_pallas.py). Only engages when
         # the tree fits VMEM. "auto" = on for real accelerator backends,
         # off on CPU (the interpreter is slow); True/False force it.

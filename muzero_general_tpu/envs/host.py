@@ -44,20 +44,44 @@ class HostEnv:
         return int(rng.choice(legal))
 
 
+class _ZeroUniformRNG:
+    """np_random stand-in whose uniform() is always 0.
+
+    Swapped in around LunarLander.step() to zero the engine-impulse
+    dispersion exactly like the reference's deterministic Box2D fork
+    (reference games/lunarlander.py:480: `dispersion = [0 for _ in range(2)]`
+    where gymnasium draws uniform(-1, 1)/SCALE). Everything else (reset
+    terrain + initial force, reference :399-400) keeps the real RNG.
+    """
+
+    def __init__(self, real):
+        self._real = real
+
+    def uniform(self, *args, **kwargs):
+        return 0.0
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+
 class LunarLander(HostEnv):
     """gymnasium LunarLander with reward/3 scaling (reference
-    games/lunarlander.py:141-149). The reference ships a from-scratch
-    deterministic Box2D lander with engine dispersion zeroed
-    (lunarlander.py:291-651, :480); we use the stock gymnasium physics —
-    same observation/action/reward contract, slightly noisier engines."""
+    games/lunarlander.py:141-149). The reference ships a from-scratch Box2D
+    lander with engine dispersion zeroed (lunarlander.py:291-651, :480)
+    because a deterministic transition model helps MuZero's learned dynamics;
+    `deterministic=True` (the default, matching the reference) reproduces
+    that on top of the stock gymnasium physics by zeroing the per-step
+    dispersion draws while keeping the random initial conditions.
+    """
 
     observation_shape = (1, 1, 8)
     num_actions = 4
 
-    def __init__(self, seed=None):
+    def __init__(self, seed=None, deterministic=True):
         import gymnasium
 
         self.env = gymnasium.make("LunarLander-v3")
+        self.deterministic = deterministic
         self._seed = seed
         self._rng = np.random.default_rng(seed)
 
@@ -66,7 +90,18 @@ class LunarLander(HostEnv):
         return np.array([[obs]], np.float32)
 
     def step(self, action):
-        obs, reward, terminated, truncated, _ = self.env.step(int(action))
+        core = self.env.unwrapped
+        if self.deterministic:
+            real = core._np_random
+            core._np_random = _ZeroUniformRNG(real)
+            try:
+                obs, reward, terminated, truncated, _ = self.env.step(
+                    int(action)
+                )
+            finally:
+                core._np_random = real
+        else:
+            obs, reward, terminated, truncated, _ = self.env.step(int(action))
         return np.array([[obs]], np.float32), float(reward) / 3.0, bool(
             terminated or truncated
         )

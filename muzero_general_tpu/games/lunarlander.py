@@ -1,8 +1,9 @@
 """lunarlander game module (config parity: reference games/lunarlander.py:11-128).
 
-Host-path env: gymnasium LunarLander with reward/3 scaling. The reference
-uses a from-scratch deterministic Box2D lander (lunarlander.py:291-651);
-see envs/host.py for the delta.
+Host-path env: gymnasium LunarLander with reward/3 scaling and, by default,
+the reference's deterministic-engine semantics (zero impulse dispersion,
+reference lunarlander.py:480) layered on the stock Box2D physics — see
+envs/host.py LunarLander for the mechanism.
 """
 
 from muzero_general_tpu import config as config_lib
@@ -71,5 +72,7 @@ class MuZeroConfig(config_lib.MuZeroConfig):
         return 0.35
 
 
-def make_env(seed=None):
-    return LunarLander(seed=seed)
+def make_env(seed=None, deterministic=True):
+    """deterministic=True matches the reference's zero-dispersion engine
+    (games/lunarlander.py:480); pass False for the stock stochastic physics."""
+    return LunarLander(seed=seed, deterministic=deterministic)

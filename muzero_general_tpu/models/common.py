@@ -35,11 +35,10 @@ class TorchDense(nn.Module):
         bound = 1.0 / math.sqrt(fan_in)
         kernel = self.param("kernel", _uniform_init(bound), (fan_in, self.features))
         bias = self.param("bias", _uniform_init(bound), (self.features,))
-        y = jnp.dot(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            preferred_element_type=jnp.float32,
-        )
+        # Uniform operand dtype keeps the vjp transpose well-typed under
+        # mixed precision; the TPU MXU accumulates bf16 products in f32
+        # internally, the output is upcast for heads/losses.
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         return y.astype(jnp.float32) + bias
 
 
@@ -76,13 +75,14 @@ class TorchConv(nn.Module):
             "kernel", _uniform_init(bound), (kh, kw, x.shape[-1], self.features)
         )
         pad = [(self.padding, self.padding)] * 2
+        # Uniform operand/output dtype (see TorchDense): keeps the conv
+        # transpose well-typed under bf16; MXU accumulation is f32 either way.
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
             window_strides=tuple(self.strides),
             padding=pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         ).astype(jnp.float32)
         if self.use_bias:
             bias = self.param("bias", _uniform_init(bound), (self.features,))

@@ -269,6 +269,19 @@ class MuZero:
             else None
         )
 
+        prefetcher = None
+        if cfg.batch_prefetch:
+            from muzero_general_tpu.prefetch import BatchPrefetcher
+
+            prefetcher = BatchPrefetcher(
+                replay, depth=max(2, int(cfg.fused_train_steps))
+            )
+
+        def next_batches(n):
+            if prefetcher is not None:
+                return prefetcher.take(n)
+            return [replay.get_batch() for _ in range(n)]
+
         S = cfg.support_size
         reanalyse_fn = jax.jit(
             lambda variables, obs: support_to_scalar(
@@ -359,7 +372,7 @@ class MuZero:
                     prev_step = training_step
                     if fused_train is not None and target - training_step >= M > 1:
                         # Fused path: M batches, ONE device dispatch.
-                        parts = [replay.get_batch() for _ in range(M)]
+                        parts = next_batches(M)
                         index_batches = [ib for ib, _ in parts]
                         batches = place_batches({
                             k: np.stack([b[k] for _, b in parts])
@@ -374,7 +387,7 @@ class MuZero:
                                 (priorities_m, index_batches)
                             )
                     else:
-                        index_batch, batch = replay.get_batch()
+                        index_batch, batch = next_batches(1)[0]
                         batch = place_batch(batch)
                         phase_time["batch"] += time.time() - t0
                         t0 = time.time()
@@ -440,6 +453,9 @@ class MuZero:
                 )
         except KeyboardInterrupt:
             pass
+        finally:
+            if prefetcher is not None:
+                prefetcher.stop()
 
         # Final persist (reference muzero.py:334-346, 348-367)
         self.checkpoint["training_step"] = training_step

@@ -17,6 +17,7 @@ driver). Semantics parity with reference replay_buffer.py:
 - stale-update guards on evicted games (replay_buffer.py:198-228).
 """
 
+import threading
 from dataclasses import dataclass
 from typing import Dict, Optional
 
@@ -133,6 +134,18 @@ def make_target(gh: GameHistory, pos, num_unroll_steps, td_steps, discount,
     )
 
 
+def _locked(fn):
+    """Run the method under self.lock (see ReplayBuffer.lock)."""
+
+    def wrapper(self, *args, **kwargs):
+        with self.lock:
+            return fn(self, *args, **kwargs)
+
+    wrapper.__name__ = fn.__name__
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
+
+
 class ReplayBuffer:
     def __init__(self, config, initial_buffer: Optional[Dict[int, GameHistory]] = None,
                  num_played_games: int = 0, num_played_steps: int = 0):
@@ -143,8 +156,14 @@ class ReplayBuffer:
         self.total_samples = sum(len(gh) for gh in self.buffer.values())
         self.rng = np.random.default_rng(config.seed)
         self._reanalyse_cursor = 0
+        # Serializes buffer mutation against the background batch-assembly
+        # thread (prefetch.BatchPrefetcher). The reference gets the same
+        # guarantee from the Ray actor model (one actor = one event loop,
+        # SURVEY.md §5.2).
+        self.lock = threading.RLock()
 
     # ------------------------------------------------------------------
+    @_locked
     def save_game(self, gh: GameHistory):
         if self.config.PER and gh.priorities is None:
             targets = compute_target_values(
@@ -192,6 +211,7 @@ class ReplayBuffer:
         return self.rng.integers(0, len(gh)), np.nan
 
     # ------------------------------------------------------------------
+    @_locked
     def get_batch(self, use_native: bool = True):
         """Assemble one training batch (reference replay_buffer.py:70-138).
 
@@ -286,6 +306,7 @@ class ReplayBuffer:
         return index_batch, batch
 
     # ------------------------------------------------------------------
+    @_locked
     def update_priorities(self, priorities: np.ndarray, index_batch: np.ndarray):
         """Write back training-time priorities (replay_buffer.py:205-228)."""
         if not self.buffer:
@@ -300,6 +321,7 @@ class ReplayBuffer:
                 gh.priorities[pos:end] = pr[: end - pos]
                 gh.game_priority = float(np.max(gh.priorities))
 
+    @_locked
     def update_reanalysed_values(self, game_id: int, values: np.ndarray):
         """Store fresh root values (reference replay_buffer.py:365-369 + guard :197-203)."""
         if self.buffer and game_id >= next(iter(self.buffer)) and game_id in self.buffer:
@@ -307,6 +329,7 @@ class ReplayBuffer:
                 np.float32
             )
 
+    @_locked
     def reanalyse_pick(self, n: int):
         """Up to n (game_id, GameHistory) pairs, round-robin over the buffer.
 

@@ -150,6 +150,40 @@ def test_host_lunarlander_smoke():
     env.close()
 
 
+def test_lunarlander_deterministic_engine():
+    """Two deterministic landers from the same seed replay identically under
+    a fixed action script (the reference's zero-dispersion property,
+    games/lunarlander.py:480); the stochastic variant diverges."""
+    import pytest
+
+    pytest.importorskip("gymnasium")
+    from muzero_general_tpu.envs.host import LunarLander
+
+    script = [2, 2, 1, 2, 3, 2, 2, 1, 2, 2] * 4
+
+    def rollout(deterministic, seed=123):
+        env = LunarLander(seed=seed, deterministic=deterministic)
+        obs = env.reset()
+        traj = [obs]
+        for a in script:
+            obs, r, d = env.step(a)
+            traj.append(obs)
+            if d:
+                break
+        env.close()
+        return np.concatenate([t.ravel() for t in traj])
+
+    a = rollout(True)
+    b = rollout(True)
+    np.testing.assert_array_equal(a, b)
+
+    # Stochastic engines diverge from the deterministic trajectory (same
+    # seed, same initial conditions, dispersion draws differ from zero).
+    c = rollout(False)
+    n = min(len(a), len(c))
+    assert not np.array_equal(a[:n], c[:n])
+
+
 def test_hostplay_driver_with_lunarlander():
     import pytest
 

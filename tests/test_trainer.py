@@ -148,3 +148,40 @@ def test_gradient_scale_divides_unroll_grads():
     u2 = jax.tree_util.tree_map(lambda a, b: np.asarray(a - b), d2, p0)
     for a, b in zip(jax.tree_util.tree_leaves(u1), jax.tree_util.tree_leaves(u2)):
         np.testing.assert_allclose(b, a / 2, rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.parametrize("network", ["fullyconnected", "resnet"])
+def test_bfloat16_train_step(network):
+    """compute_dtype=bfloat16 trains (forward AND backward) for both nets —
+    the conv/dot transpose must stay well-typed under mixed precision."""
+    cfg = small_config(compute_dtype="bfloat16")
+    if network == "resnet":
+        cfg.network = "resnet"
+        cfg.observation_shape = (3, 3, 3)
+        cfg.action_space = list(range(9))
+        cfg.blocks = 1
+        cfg.channels = 8
+        cfg.reduced_channels_reward = 2
+        cfg.reduced_channels_value = 2
+        cfg.reduced_channels_policy = 2
+        cfg.resnet_fc_reward_layers = [8]
+        cfg.resnet_fc_value_layers = [8]
+        cfg.resnet_fc_policy_layers = [8]
+    runner = MuZeroNetwork(cfg)
+    state = init_train_state(runner, cfg, jax.random.PRNGKey(0))
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in fake_batch(cfg, np.random.default_rng(0)).items()
+    }
+    step = make_train_step(runner, cfg, donate=False)
+    s1, m1, _ = step(state, batch)
+    assert np.isfinite(float(m1["total_loss"]))
+    # params actually moved
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(s1.params),
+        )
+    )
+    assert moved
