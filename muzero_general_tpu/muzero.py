@@ -58,12 +58,23 @@ class MuZero:
     Args:
         game_name: name of a module in muzero_general_tpu/games.
         config: optional dict of overrides or a full MuZeroConfig instance.
-        split_resources_in: kept for API parity (resource splitting is a
-            Ray/GPU concept; the TPU build shares one device program).
+        split_resources_in: claim only 1/N of the visible devices, so N
+            MuZero instances can run concurrently — the TPU counterpart of
+            the reference's fractional-GPU budget (reference muzero.py:71-96,
+            142-153; used by hyperparameter_search, muzero.py:525).
+        devices: explicit device group for this instance (overrides
+            split_resources_in); all jitted programs and the mesh are pinned
+            to it. Used by search.py to place concurrent experiments on
+            disjoint device slices.
     """
 
-    def __init__(self, game_name, config=None, split_resources_in=1):
+    def __init__(self, game_name, config=None, split_resources_in=1,
+                 devices=None):
         self.game_name = game_name
+        self._devices = list(devices) if devices else None
+        if self._devices is None and split_resources_in > 1:
+            fleet = jax.devices()
+            self._devices = fleet[: max(1, len(fleet) // split_resources_in)]
         game_module = config_lib.load_game_module(game_name)
         self.make_env = game_module.make_env
         self.config = game_module.MuZeroConfig()
@@ -179,6 +190,15 @@ class MuZero:
 
     # ------------------------------------------------------------------
     def train(self, log_in_tensorboard=True):
+        if self._devices:
+            # Pin every jitted program of this instance (including unsharded
+            # fallbacks) to the instance's device group so concurrent
+            # experiments don't pile onto device 0.
+            with jax.default_device(self._devices[0]):
+                return self._train(log_in_tensorboard)
+        return self._train(log_in_tensorboard)
+
+    def _train(self, log_in_tensorboard=True):
         """Synchronous actor-learner training (reference muzero.py:132-208).
 
         Multi-chip is the product path: when more than one device is visible
@@ -203,7 +223,7 @@ class MuZero:
             shard_train_state,
         )
 
-        mesh = mesh_from_config(cfg)
+        mesh = mesh_from_config(cfg, devices=self._devices)
         train_mesh = (
             mesh
             if mesh is not None and cfg.batch_size % mesh.shape["dp"] == 0
@@ -475,6 +495,15 @@ class MuZero:
     # ------------------------------------------------------------------
     def test(self, render=False, opponent=None, muzero_player=None, num_tests=1,
              num_gpus=0):
+        if self._devices:
+            with jax.default_device(self._devices[0]):
+                return self._test(
+                    render, opponent, muzero_player, num_tests, num_gpus
+                )
+        return self._test(render, opponent, muzero_player, num_tests, num_gpus)
+
+    def _test(self, render=False, opponent=None, muzero_player=None,
+              num_tests=1, num_gpus=0):
         """Greedy evaluation (reference muzero.py:369-424).
 
         opponent ∈ {"self", "random", "expert"}; "human" is handled by the

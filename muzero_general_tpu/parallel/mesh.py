@@ -130,14 +130,18 @@ def make_sharded_fused_train_steps(runner, config, mesh: Mesh):
     return jax.jit(raw, donate_argnums=(0,))
 
 
-def mesh_from_config(config) -> Mesh | None:
+def mesh_from_config(config, devices=None) -> Mesh | None:
     """The product-path mesh: dp×mp over the available devices.
 
     config.mesh_dp None = all devices not used by mp go to dp. Returns None
     when the result would be a trivial 1-device mesh (single-chip runs skip
-    the sharding machinery entirely).
+    the sharding machinery entirely). `devices` restricts the mesh to a
+    subset of the fleet — the resource-splitting counterpart of the
+    reference's fractional-GPU scheduling (reference muzero.py:142-153,
+    split_resources_in muzero.py:92,525) used by concurrent hyperparameter
+    experiments (search.py).
     """
-    devices = jax.devices()
+    devices = devices if devices is not None else jax.devices()
     mp = max(1, int(getattr(config, "mesh_mp", 1) or 1))
     dp = config.mesh_dp if getattr(config, "mesh_dp", None) else max(
         1, len(devices) // mp

@@ -1,15 +1,21 @@
 """Hyperparameter search.
 
-The reference drives nevergrad's OnePlusOne optimizer over full training runs
-(reference muzero.py:495-581, :694-707). nevergrad is not available in this
-environment, so the same (1+1)-evolution-strategy loop is implemented
-directly: mutate the incumbent, train a full MuZero instance, score it with
-test(), keep the better. Parametrization:
+The reference drives nevergrad's OnePlusOne optimizer over full training
+runs, `parallel_experiments` of them at a time, each claiming 1/N of the
+GPUs via `split_resources_in` (reference muzero.py:495-581, :694-707).
+nevergrad is not available in this environment, so the same loop is
+implemented directly as a (1+λ)-evolution strategy: each generation mutates
+the incumbent into λ = parallel_experiments candidates, trains/tests them
+CONCURRENTLY — each experiment pinned to its own disjoint slice of the
+device fleet (the TPU counterpart of the reference's fractional-GPU
+scheduling, muzero.py:142-153) — and keeps the best if it improves.
+λ = 1 reduces to the reference's default (1+1) behavior. Parametrization:
 
     {"lr_init": ("log", 1e-4, 0.1), "discount": ("linear", 0.95, 0.9999)}
 """
 
 import math
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -33,6 +39,7 @@ def _sample_initial(parametrization, rng):
             values[name] = float(rng.uniform(lo, hi))
     return values
 
+
 def _mutate(values, parametrization, rng, sigma=0.5):
     out = {}
     for name, (scale, lo, hi) in parametrization.items():
@@ -51,39 +58,88 @@ def _mutate(values, parametrization, rng, sigma=0.5):
     return out
 
 
-def one_plus_one_search(game_name, parametrization=None, budget=20,
-                        parallel_experiments=1, num_tests=10):
-    """(1+1)-ES over full train+test runs; returns the best override dict.
+def _device_slices(n_slots):
+    """Split the device fleet into n_slots disjoint groups (contiguous, so a
+    group's devices share ICI neighborhoods). With fewer devices than slots,
+    experiments share devices round-robin."""
+    import jax
 
-    `parallel_experiments` is kept for signature parity with the reference
-    (muzero.py:495); the synchronous TPU build runs candidates serially on
-    the one device program.
-    """
+    devices = jax.devices()
+    if len(devices) >= n_slots:
+        per = len(devices) // n_slots
+        return [devices[i * per : (i + 1) * per] for i in range(n_slots)]
+    return [[devices[i % len(devices)]] for i in range(n_slots)]
+
+
+def _run_candidate(game_name, values, base_overrides, devices, num_tests,
+                   results_path):
+    """Train + test one candidate on its device slice; returns
+    (score, checkpoint)."""
     from muzero_general_tpu.muzero import MuZero
 
+    overrides = dict(base_overrides or {})
+    overrides.update(values)
+    overrides["results_path"] = str(results_path)
+    mz = MuZero(game_name, overrides, devices=devices)
+    mz.train(log_in_tensorboard=False)
+    score = mz.test(num_tests=num_tests)
+    return score, mz.checkpoint
+
+
+def one_plus_one_search(game_name, parametrization=None, budget=20,
+                        parallel_experiments=1, num_tests=10,
+                        base_overrides=None):
+    """(1+λ)-ES over full train+test runs; returns the best override dict.
+
+    Each generation evaluates λ = parallel_experiments mutated candidates
+    concurrently, each on a disjoint 1/λ slice of the devices (reference
+    muzero.py:495-581: nevergrad asks `parallel_experiments` candidates and
+    runs that many MuZero instances at once with split GPU budgets). The
+    total number of candidate evaluations is `budget`.
+    """
+    from muzero_general_tpu.config import load_game_module
+
     parametrization = parametrization or DEFAULT_PARAMETRIZATION
+    lam = max(1, int(parallel_experiments))
     rng = np.random.default_rng(0)
+    results_root = load_game_module(game_name).MuZeroConfig().default_results_path(
+        game_name
+    ).parent / "search"
+    slices = _device_slices(lam)
 
     best_values, best_score, best_checkpoint = None, -np.inf, None
     incumbent = _sample_initial(parametrization, rng)
-    for trial in range(budget):
-        candidate = (
-            incumbent if trial == 0 else _mutate(incumbent, parametrization, rng)
-        )
-        print(f"\n[search {trial + 1}/{budget}] {candidate}")
-        mz = MuZero(game_name, dict(candidate))
-        mz.train(log_in_tensorboard=False)
-        score = mz.test(num_tests=num_tests)
-        print(f"[search {trial + 1}/{budget}] score {score:.2f}")
-        if score > best_score:
-            best_values, best_score = dict(candidate), score
-            best_checkpoint = mz.checkpoint
-            incumbent = dict(candidate)
+    trial = 0
+    while trial < budget:
+        gen = []
+        for _ in range(min(lam, budget - trial)):
+            gen.append(
+                incumbent
+                if trial == 0 and not gen
+                else _mutate(incumbent, parametrization, rng)
+            )
+        print(f"\n[search {trial + 1}..{trial + len(gen)}/{budget}] {gen}")
+        with ThreadPoolExecutor(max_workers=len(gen)) as pool:
+            futures = [
+                pool.submit(
+                    _run_candidate, game_name, cand, base_overrides,
+                    slices[i], num_tests,
+                    results_root / f"trial_{trial + i:03d}",
+                )
+                for i, cand in enumerate(gen)
+            ]
+            outcomes = [f.result() for f in futures]
+        for cand, (score, checkpoint) in zip(gen, outcomes):
+            print(f"[search] {cand} -> score {score:.2f}")
+            if score > best_score:
+                best_values, best_score = dict(cand), score
+                best_checkpoint = checkpoint
+                incumbent = dict(cand)
+        trial += len(gen)
 
     if best_checkpoint is not None:
-        results_path = MuZero(game_name).config.results_path
-        results_path.mkdir(parents=True, exist_ok=True)
-        ckpt_lib.save_checkpoint(best_checkpoint, results_path / "model.checkpoint")
-        (results_path / "best_parameters.txt").write_text(str(best_values))
+        results_root.mkdir(parents=True, exist_ok=True)
+        ckpt_lib.save_checkpoint(best_checkpoint, results_root / "model.checkpoint")
+        (results_root / "best_parameters.txt").write_text(str(best_values))
     print(f"\nBest parameters: {best_values} (score {best_score:.2f})")
     return best_values
