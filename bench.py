@@ -31,9 +31,47 @@ import json
 import sys
 import time
 
-# Peak dense bf16 FLOP/s of the bench chip (v5e-class: 197 TFLOP/s bf16).
-# MFU numbers are relative to this; override with --peak-tflops.
+# Peak dense bf16 FLOP/s of the bench chip (TPU v5e: 197 TFLOP/s bf16).
+# MFU numbers are relative to this; override with --peak-tflops. The chip's
+# ACHIEVABLE matmul rate (8192^3 bf16 matmul, measured here) is ~155 TFLOP/s;
+# measure_matmul_peak() reports it alongside for an honest denominator.
 PEAK_TFLOPS_BF16 = 197.0
+
+
+def measure_matmul_peak(n=8192, reps=10):
+    """Achieved TFLOP/s of a large bf16 matmul — the realistic MXU ceiling."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    k = jax.random.PRNGKey(0)
+    a = jax.random.normal(k, (n, n), jnp.bfloat16)
+    f = jax.jit(lambda a, b: a @ b)
+    c = f(a, a)
+    np.asarray(c[0, 0])
+    t0 = time.time()
+    for _ in range(reps):
+        c = f(c.astype(jnp.bfloat16), a)
+    np.asarray(c[0, 0])
+    dt = (time.time() - t0) / reps
+    return 2 * n**3 / dt / 1e12
+
+
+def _time_train_dispatches(fused, state, batches, reps):
+    """Wall-time `reps` donated train dispatches, serializing each with a
+    host pull of the loss (async queueing otherwise under-reports: the
+    pre-fix atari lane 'measured' 2421 TFLOP/s on a 197-peak chip)."""
+    import time
+
+    s, metrics, _ = fused(state, batches)  # warm-up (compile) + donate state
+    float(metrics["total_loss"])
+    t0 = time.time()
+    for _ in range(reps):
+        s, metrics, _ = fused(s, batches)
+        float(metrics["total_loss"])
+    return (time.time() - t0) / reps
 
 
 def measure_ours(num_games=4096, num_moves=8, num_simulations=50):
@@ -159,25 +197,15 @@ def measure_resnet(num_games=256, num_moves=4, dtype="bfloat16",
     }
     batches = {k: jax.numpy.asarray(v) for k, v in batches.items()}
     state = init_train_state(runner, cfg, jax.random.PRNGKey(0))
-    fused = make_fused_train_steps(runner, cfg, donate=False)
+    fused = make_fused_train_steps(runner, cfg)  # donated product path
 
-    # XLA's own FLOP count for the compiled M-step program.
-    compiled = (
-        jax.jit(make_fused_train_steps(runner, cfg, jit=False))
-        .lower(state, batches)
-        .compile()
-    )
+    # XLA's own FLOP count, from the SAME executable the timing runs.
+    compiled = fused.lower(state, batches).compile()
     cost = compiled.cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     flops_per_dispatch = float(cost.get("flops", 0.0)) if cost else 0.0
 
-    state, metrics, _ = fused(state, batches)
-    jax.block_until_ready(metrics["total_loss"])
-    t0 = time.time()
-    for _ in range(train_reps):
-        state, metrics, _ = fused(state, batches)
-    jax.block_until_ready(metrics["total_loss"])
-    train_dt = (time.time() - t0) / train_reps
+    train_dt = _time_train_dispatches(fused, state, batches, train_reps)
     train_steps_per_s = M / train_dt
     achieved_tflops = flops_per_dispatch / train_dt / 1e12
     mfu = achieved_tflops / peak_tflops
@@ -235,28 +263,23 @@ def measure_atari_train(dtype="bfloat16", peak_tflops=PEAK_TFLOPS_BF16,
     }
     batches = {k: jax.numpy.asarray(v) for k, v in batches.items()}
     state = init_train_state(runner, cfg, jax.random.PRNGKey(0))
-    fused = make_fused_train_steps(runner, cfg, donate=False)
-    compiled = (
-        jax.jit(make_fused_train_steps(runner, cfg, jit=False))
-        .lower(state, batches)
-        .compile()
-    )
+    fused = make_fused_train_steps(runner, cfg)  # donated product path
+    compiled = fused.lower(state, batches).compile()
     cost = compiled.cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     flops_per_dispatch = float(cost.get("flops", 0.0)) if cost else 0.0
 
-    state, metrics, _ = fused(state, batches)
-    jax.block_until_ready(metrics["total_loss"])
-    t0 = time.time()
-    for _ in range(train_reps):
-        state, metrics, _ = fused(state, batches)
-    jax.block_until_ready(metrics["total_loss"])
-    train_dt = (time.time() - t0) / train_reps
+    train_dt = _time_train_dispatches(fused, state, batches, train_reps)
     achieved_tflops = flops_per_dispatch / train_dt / 1e12
+    matmul_peak = measure_matmul_peak()
     return {
         "train_steps_per_s": round(M / train_dt, 3),
         "train_achieved_tflops": round(achieved_tflops, 2),
         "train_mfu_vs_peak": round(achieved_tflops / peak_tflops, 4),
+        "train_mfu_vs_measured_matmul": round(
+            achieved_tflops / matmul_peak, 4
+        ),
+        "measured_matmul_tflops": round(matmul_peak, 1),
         "flops_per_train_step": flops_per_dispatch / M,
         "dtype": dtype,
         "batch_size": B,

@@ -322,8 +322,16 @@ class MuZero:
         # Per-phase wall-clock accounting (SURVEY.md §5.1: first-class step
         # timing the reference lacks) — written to metrics.jsonl.
         phase_time = {"selfplay": 0.0, "test": 0.0, "train": 0.0,
-                      "reanalyse": 0.0, "batch": 0.0}
+                      "reanalyse": 0.0, "batch": 0.0, "checkpoint": 0.0}
         loop_counter = 0
+        # Checkpointing is honored at OUTER-loop granularity: sync whenever
+        # >= checkpoint_interval steps accumulated since the last sync
+        # (reference trainer.py:87-97 pushes every interval steps, but each
+        # sync here is a device->host pull of all weights+optimizer state
+        # through the TPU tunnel — doing it per inner iteration dominated
+        # wall-clock: 92% of a 7500-step run was untracked sync time).
+        last_ckpt_step = training_step
+        last_metrics = None
         try:
             while training_step < cfg.training_steps:
                 if self.checkpoint["terminate"] or stop_file.exists():
@@ -434,23 +442,31 @@ class MuZero:
                         n = self._reanalyse_sweep(replay, reanalyse_fn, state)
                         self.checkpoint["num_reanalysed_games"] += n
                     phase_time["reanalyse"] += time.time() - t0
-                    if (training_step // cfg.checkpoint_interval) > (
-                        prev_step // cfg.checkpoint_interval
-                    ):
-                        for k in ("total_loss", "value_loss", "reward_loss", "policy_loss"):
-                            self.checkpoint[k] = float(metrics[k])
-                        self.checkpoint["lr"] = float(metrics["lr"])
-                        self.checkpoint["training_step"] = training_step
-                        self._sync_checkpoint(state, replay)
-                        if cfg.save_model:
-                            ckpt_lib.save_checkpoint(
-                                self.checkpoint, cfg.results_path / "model.checkpoint"
-                            )
+                    last_metrics = metrics
                 if cfg.PER:
                     for pr, ibs in pending_priorities:
                         pr = np.asarray(pr)
                         for m, ib in enumerate(ibs):
                             replay.update_priorities(pr[m], ib)
+
+                # ---- checkpoint sync (once per loop at most) --------------
+                t0 = time.time()
+                if last_metrics is not None and (
+                    training_step // cfg.checkpoint_interval
+                ) > (last_ckpt_step // cfg.checkpoint_interval):
+                    for k in ("total_loss", "value_loss", "reward_loss",
+                              "policy_loss"):
+                        self.checkpoint[k] = float(last_metrics[k])
+                    self.checkpoint["lr"] = float(last_metrics["lr"])
+                    self.checkpoint["training_step"] = training_step
+                    self._sync_checkpoint(state, replay)
+                    if cfg.save_model:
+                        ckpt_lib.save_checkpoint(
+                            self.checkpoint,
+                            cfg.results_path / "model.checkpoint",
+                        )
+                    last_ckpt_step = training_step
+                phase_time["checkpoint"] += time.time() - t0
 
                 self.checkpoint["training_step"] = training_step
                 self.checkpoint["num_played_games"] = replay.num_played_games

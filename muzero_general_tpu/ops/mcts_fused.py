@@ -42,6 +42,15 @@ from muzero_general_tpu.ops import mcts as mcts_ops
 from muzero_general_tpu.ops.support import support_to_scalar
 
 TIE_JITTER = 1e-5
+
+# All in-kernel dots run at HIGHEST precision: the MXU's default f32 mode is
+# bf16 passes, which (a) makes the 0/1 selection matmuls truncate the data
+# operand (priors/hidden states lose ~8 mantissa bits — observed on-chip as
+# 64% visit-count divergence from the XLA oracle) and (b) drifts the FC net
+# outputs from the f32 reference semantics. HIGHEST = 6-pass bf16x3, exact
+# for selections and f32-accurate for the tiny network matmuls; the kernel
+# is sequencing-bound so the extra passes are free.
+EXACT = jax.lax.Precision.HIGHEST
 _EPS = 0.001  # support codec epsilon (reference models.py:661,675)
 
 
@@ -300,7 +309,7 @@ def _search_kernel(
         mask = (iota_NA // A) == node_col
         return jnp.dot(
             jnp.where(mask, arr_f32, 0.0), sel_NA_A,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=EXACT,
         )
 
     def elu(x):
@@ -314,7 +323,7 @@ def _search_kernel(
     def mlp(x, layers):
         nl = len(layers)
         for i, (w, b) in enumerate(layers):
-            x = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+            x = jnp.dot(x, w, preferred_element_type=jnp.float32, precision=EXACT) + b
             if i < nl - 1:
                 x = elu(x)
         return x
@@ -385,7 +394,12 @@ def _search_kernel(
                 score = score + bits.astype(jnp.float32) * (
                     tie_jitter / 4.2949673e9
                 )
-            sel = jnp.argmax(score, axis=1).astype(jnp.int32)[:, None]
+            # First-index argmax spelled out (Mosaic argmax picks the LAST
+            # max on ties — see ops/mcts_pallas.py descend for the full note).
+            m = jnp.max(score, axis=1, keepdims=True)
+            sel = jnp.min(
+                jnp.where(score >= m, iota_A, A), axis=1, keepdims=True
+            )
 
             child = row_gather(child_index, current * A + sel)
             hits = active * (child < 0).astype(jnp.int32)
@@ -415,12 +429,12 @@ def _search_kernel(
         maskP = (iota_NE // E) == parent
         h_par = jnp.dot(
             jnp.where(maskP, hidden, 0.0), sel_NE_E,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=EXACT,
         )  # [B, E]
         onehot = (iota_A == action).astype(jnp.float32)  # [B, A]
         x = (
-            jnp.dot(h_par, w_dyn_h, preferred_element_type=jnp.float32)
-            + jnp.dot(onehot, w_dyn_a, preferred_element_type=jnp.float32)
+            jnp.dot(h_par, w_dyn_h, preferred_element_type=jnp.float32, precision=EXACT)
+            + jnp.dot(onehot, w_dyn_a, preferred_element_type=jnp.float32, precision=EXACT)
             + b_dyn0
         )
         if n_dyn_rest > 0:
@@ -453,12 +467,12 @@ def _search_kernel(
         )
         child_prior = jnp.where(
             (iota_NA // A) == new_node,
-            jnp.dot(prior, sel_A_NA, preferred_element_type=jnp.float32),
+            jnp.dot(prior, sel_A_NA, preferred_element_type=jnp.float32, precision=EXACT),
             child_prior,
         )
         hidden = jnp.where(
             (iota_NE // E) == new_node,
-            jnp.dot(h_next, sel_E_NE, preferred_element_type=jnp.float32),
+            jnp.dot(h_next, sel_E_NE, preferred_element_type=jnp.float32, precision=EXACT),
             hidden,
         )
         path = jnp.where(iota_D == leaf_depth, new_node, path)

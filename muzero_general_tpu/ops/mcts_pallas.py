@@ -32,6 +32,14 @@ from jax.experimental.pallas import tpu as pltpu
 # TPU PRNG primitives are only exercised on real hardware.
 TIE_JITTER = 1e-5
 
+# Selection matmuls (0/1 matrices) must not truncate the data operand: the
+# MXU's default f32 precision runs bf16 passes, which loses ~8 mantissa bits
+# of child priors/values and flips near-tie pUCT argmax decisions vs the XLA
+# oracle (observed on-chip: 64% visit mismatch). HIGHEST = 6-pass bf16x3
+# decomposition of both operands — exact for products against exact 1.0, so
+# these gathers are bit-exact f32.
+EXACT = jax.lax.Precision.HIGHEST
+
 
 def _descend_kernel(
     seed_ref,  # [1] int32 (SMEM)
@@ -103,6 +111,7 @@ def _descend_kernel(
             jnp.where(mask, arr_f32, 0.0),
             sel_matrix,
             preferred_element_type=jnp.float32,
+            precision=EXACT,
         )
 
     visit_f = visit.astype(jnp.float32)
@@ -146,7 +155,13 @@ def _descend_kernel(
             score = score + bits.astype(jnp.float32) * (
                 tie_jitter / 4.2949673e9
             )
-        sel = jnp.argmax(score, axis=1).astype(jnp.int32)[:, None]  # [B, 1]
+        # First-index argmax, spelled out: Mosaic's jnp.argmax returns the
+        # LAST max index on ties (XLA returns the first), which diverges from
+        # the oracle at every exact tie — e.g. all root actions at sim 0,
+        # where parent_visit=0 zeroes every pUCT score.
+        m = jnp.max(score, axis=1, keepdims=True)
+        iota_a = jax.lax.broadcasted_iota(jnp.int32, (B, A), 1)
+        sel = jnp.min(jnp.where(score >= m, iota_a, A), axis=1, keepdims=True)
 
         child = row_gather(child_index, current * A + sel)
         hits = active * (child < 0).astype(jnp.int32)
