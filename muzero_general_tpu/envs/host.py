@@ -122,17 +122,23 @@ class AtariBreakout(HostEnv):
     observation_shape = (3, 96, 96)
     num_actions = 4
 
-    def __init__(self, seed=None):
-        try:
-            import ale_py  # noqa: F401
-            import gymnasium
+    def __init__(self, seed=None, env=None):
+        """env: injectable backend with the gymnasium reset/step surface —
+        lets the preprocessing/driver path run without ale-py
+        (tests/test_misc_envs.py fake-ALE test)."""
+        if env is not None:
+            self.env = env
+        else:
+            try:
+                import ale_py  # noqa: F401
+                import gymnasium
 
-            self.env = gymnasium.make("ALE/Breakout-v5")
-        except ImportError as e:
-            raise ImportError(
-                "The atari/breakout games need ale-py (gymnasium[atari]), "
-                "which is not available in this environment."
-            ) from e
+                self.env = gymnasium.make("ALE/Breakout-v5")
+            except ImportError as e:
+                raise ImportError(
+                    "The atari/breakout games need ale-py (gymnasium[atari]), "
+                    "which is not available in this environment."
+                ) from e
         self._rng = np.random.default_rng(seed)
 
     def _preprocess(self, obs):
@@ -157,15 +163,21 @@ class SpielGame(HostEnv):
     """OpenSpiel wrapper (reference games/spiel.py:240-297). pyspiel is not
     shipped in this image — construction raises with a clear message."""
 
-    def __init__(self, game_name="tic_tac_toe", seed=None):
-        try:
-            import pyspiel
-        except ImportError as e:
-            raise ImportError(
-                "The spiel game needs open_spiel (pyspiel), which is not "
-                "available in this environment."
-            ) from e
-        self.game = pyspiel.load_game(game_name)
+    def __init__(self, game_name="tic_tac_toe", seed=None, game=None):
+        """game: injectable pyspiel-like game object (observation_tensor_shape
+        / policy_tensor_shape / num_players / new_initial_state surface) —
+        lets the wrapper run without open_spiel (tests/test_misc_envs.py)."""
+        if game is not None:
+            self.game = game
+        else:
+            try:
+                import pyspiel
+            except ImportError as e:
+                raise ImportError(
+                    "The spiel game needs open_spiel (pyspiel), which is not "
+                    "available in this environment."
+                ) from e
+            self.game = pyspiel.load_game(game_name)
         shape = self.game.observation_tensor_shape()
         self.observation_shape = tuple(shape) if len(shape) == 3 else (
             1, 1, int(np.prod(shape))

@@ -60,9 +60,11 @@ class MuZeroConfig(config_lib.MuZeroConfig):
 
         self.self_play_delay = 0
         self.training_delay = 0
-        # Reference best-known anneal 0.8 -> 0.4 (lunarlander.py:109); the
-        # constant midpoint is used for the synchronous schedule.
-        self.ratio = 0.6
+        # Reference best-known setting for the deterministic engine: ratio
+        # annealed 0.8 -> 0.4 over the first 250 self-played games
+        # (reference lunarlander.py:109, done by hand there; the exact
+        # scheduler honors the callable directly, muzero.py train loop).
+        self.ratio = lambda games: 0.8 - 0.4 * min(games, 250) / 250
 
         self.parallel_games = 16
         self.selfplay_chunk_moves = 8

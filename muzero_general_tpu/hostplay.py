@@ -165,6 +165,12 @@ class HostSelfPlayDriver:
 
         stats = {"env_steps": K * self.G, "max_tree_depth": max_depth_seen,
                  "pred_values": np.asarray(pv), "eval_games": eval_games}
+        if self.greedy_lanes:
+            # Running reward of lane 0's in-progress eval episode (records
+            # are cleared by _finish, so this is exactly the open episode).
+            stats["eval_partial_reward"] = float(
+                np.sum(self._records[0]["rew"])
+            )
         return completed, stats
 
     def _finish(self, g, final_to_play) -> GameHistory:

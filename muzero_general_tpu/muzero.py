@@ -61,20 +61,42 @@ class MuZero:
         split_resources_in: claim only 1/N of the visible devices, so N
             MuZero instances can run concurrently — the TPU counterpart of
             the reference's fractional-GPU budget (reference muzero.py:71-96,
-            142-153; used by hyperparameter_search, muzero.py:525).
+            142-153; used by hyperparameter_search, muzero.py:525). Which
+            1/N slice is taken is `slice_index` (default 0): unlike the
+            reference, where Ray schedules each fractional budget onto free
+            GPUs, there is no scheduler here — concurrent instances must
+            claim distinct slice_index values (or pass explicit `devices=`,
+            as search.py does) to get disjoint placement.
+        slice_index: which 1/N contiguous slice split_resources_in claims.
         devices: explicit device group for this instance (overrides
             split_resources_in); all jitted programs and the mesh are pinned
             to it. Used by search.py to place concurrent experiments on
             disjoint device slices.
+        distributed: multi-host scale-out — True (TPU-pod auto-detect) or a
+            dict of jax.distributed.initialize kwargs (coordinator_address,
+            num_processes, process_id). Every participating host constructs
+            the same MuZero and calls train(): training shards over the
+            GLOBAL mesh (gradient psum across hosts), self-play runs
+            per-host on addressable devices, played-step counters are
+            globally summed for the exact ratio, and only process 0 writes
+            checkpoints/logs. The TPU counterpart of the reference's Ray
+            cluster span (reference muzero.py:96, README.md:23); see
+            parallel/distributed.py.
     """
 
     def __init__(self, game_name, config=None, split_resources_in=1,
-                 devices=None):
+                 devices=None, slice_index=0, distributed=None):
+        if distributed:
+            from muzero_general_tpu.parallel import distributed as dist_lib
+
+            dist_lib.initialize_from_spec(distributed)
         self.game_name = game_name
         self._devices = list(devices) if devices else None
         if self._devices is None and split_resources_in > 1:
             fleet = jax.devices()
-            self._devices = fleet[: max(1, len(fleet) // split_resources_in)]
+            per = max(1, len(fleet) // split_resources_in)
+            lo = min(slice_index * per, len(fleet) - per)
+            self._devices = fleet[lo : lo + per]
         game_module = config_lib.load_game_module(game_name)
         self.make_env = game_module.make_env
         self.config = game_module.MuZeroConfig()
@@ -153,7 +175,7 @@ class MuZero:
         )
 
     # ------------------------------------------------------------------
-    def _reanalyse_sweep(self, replay, reanalyse_fn, state):
+    def _reanalyse_sweep(self, replay, reanalyse_fn, variables, place_obs=None):
         """Batched value refresh (reference Reanalyse actor,
         replay_buffer.py:328-373, re-designed as scheduled device sweeps).
 
@@ -171,7 +193,6 @@ class MuZero:
         lengths = [o.shape[0] for o in obs_parts]
         all_obs = np.concatenate(obs_parts)
         P_total = all_obs.shape[0]
-        variables = self._variables(state)
         out = np.empty((P_total,), np.float32)
         for start in range(0, P_total, CHUNK):
             block = all_obs[start : start + CHUNK]
@@ -180,7 +201,10 @@ class MuZero:
                 block = np.concatenate(
                     [block, np.zeros((CHUNK - L,) + block.shape[1:], np.float32)]
                 )
-            vals = reanalyse_fn(variables, jnp.asarray(block))
+            placed = (
+                place_obs(block) if place_obs is not None else jnp.asarray(block)
+            )
+            vals = reanalyse_fn(variables, placed)
             out[start : start + L] = np.asarray(vals)[:L]
         off = 0
         for (gid, _), L in zip(picked, lengths):
@@ -215,6 +239,7 @@ class MuZero:
         state = self._restore_state()
 
         from muzero_general_tpu.parallel import (
+            distributed as dist_lib,
             make_sharded_fused_train_steps,
             make_sharded_train_step,
             mesh_from_config,
@@ -222,6 +247,24 @@ class MuZero:
             shard_stacked_batches,
             shard_train_state,
         )
+
+        # Multi-host (jax.distributed initialized): the mesh spans every
+        # process's devices; this host feeds its local dp shard of each
+        # batch, self-play runs on addressable devices only, and process 0
+        # owns all file output. See parallel/distributed.py for the design.
+        n_proc = jax.process_count()
+        is_main = jax.process_index() == 0
+        if n_proc > 1:
+            if int(getattr(cfg, "mesh_mp", 1) or 1) > 1:
+                raise NotImplementedError(
+                    "multi-host training requires mesh_mp=1 (params must be "
+                    "fully replicated so hosts can read them locally)"
+                )
+            if cfg.batch_size % n_proc:
+                raise ValueError(
+                    f"batch_size={cfg.batch_size} not divisible by "
+                    f"{n_proc} processes"
+                )
 
         mesh = mesh_from_config(cfg, devices=self._devices)
         train_mesh = (
@@ -251,11 +294,17 @@ class MuZero:
             )
 
         def place_batch(batch):
+            if n_proc > 1 and train_mesh is not None:
+                return dist_lib.process_local_batch(batch, train_mesh)
             if train_mesh is not None:
                 return shard_batch(batch, train_mesh)
             return {k: jnp.asarray(v) for k, v in batch.items()}
 
         def place_batches(batches):
+            if n_proc > 1 and train_mesh is not None:
+                return dist_lib.process_local_batch(
+                    batches, train_mesh, batch_axis=1
+                )
             if train_mesh is not None:
                 return shard_stacked_batches(batches, train_mesh)
             return {k: jnp.asarray(v) for k, v in batches.items()}
@@ -268,24 +317,47 @@ class MuZero:
         needs_self_test_lane = not (
             len(cfg.players) > 1 and cfg.opponent not in (None, "self")
         )
+        # Multi-host: self-play stays on this host's addressable devices
+        # (the reference's per-node SelfPlay actors, muzero.py:177-196);
+        # lanes are seeded per process so hosts explore independently.
+        sp_mesh = mesh
+        sp_seed = cfg.seed
+        if n_proc > 1:
+            from muzero_general_tpu.parallel import create_mesh
+
+            local = jax.local_devices()
+            sp_mesh = (
+                create_mesh(num_dp=len(local), num_mp=1, devices=local)
+                if len(local) > 1
+                else None
+            )
+            sp_seed = cfg.seed + 100003 * jax.process_index()
         driver = self._make_driver(
-            runner, seed=cfg.seed, mesh=mesh,
+            runner, seed=sp_seed, mesh=sp_mesh,
             greedy_lanes=1 if needs_self_test_lane else 0,
         )
 
+        # Multi-host: each host's replay holds its own games and contributes
+        # a 1/n_proc shard of every global batch.
+        replay_cfg = cfg
+        if n_proc > 1:
+            import copy
+
+            replay_cfg = copy.copy(cfg)
+            replay_cfg.batch_size = cfg.batch_size // n_proc
         if self.replay_buffer_state is not None:
             replay = ReplayBuffer(
-                cfg,
+                replay_cfg,
                 self.replay_buffer_state["buffer"],
                 self.replay_buffer_state["num_played_games"],
                 self.replay_buffer_state["num_played_steps"],
             )
         else:
-            replay = ReplayBuffer(cfg)
+            replay = ReplayBuffer(replay_cfg)
 
         logger = (
             MetricsLogger(cfg.results_path, cfg, self.summary)
-            if log_in_tensorboard
+            if log_in_tensorboard and is_main
             else None
         )
 
@@ -308,6 +380,20 @@ class MuZero:
                 runner.initial_inference(variables, obs)[0], S
             )
         )
+        # The sweep's [CHUNK, ...] obs shard over dp like every other batch
+        # (otherwise a multi-chip refresh would serialize onto device 0).
+        # Multi-host the sweep is host-local (local games, localized
+        # weights), so no mesh placement there.
+        place_reanalyse = None
+        if n_proc == 1 and train_mesh is not None and (
+            int(cfg.reanalyse_chunk_positions) % train_mesh.shape["dp"] == 0
+        ):
+            from muzero_general_tpu.parallel import batch_sharding
+
+            reanalyse_sharding = batch_sharding(train_mesh)
+            place_reanalyse = lambda block: jax.device_put(
+                block, reanalyse_sharding
+            )
 
         training_step = self.checkpoint["training_step"]
         print(
@@ -334,7 +420,13 @@ class MuZero:
         last_metrics = None
         try:
             while training_step < cfg.training_steps:
-                if self.checkpoint["terminate"] or stop_file.exists():
+                stop = bool(self.checkpoint["terminate"] or stop_file.exists())
+                if n_proc > 1:
+                    # A STOP on ANY host stops all of them together (hosts
+                    # must leave the loop in lockstep or a straggler would
+                    # hang in the next gradient psum).
+                    stop = dist_lib.global_sum(stop) > 0
+                if stop:
                     break
                 loop_counter += 1
                 if cfg.profile_dir and loop_counter == 20:
@@ -342,6 +434,12 @@ class MuZero:
                 if cfg.profile_dir and loop_counter == 25:
                     jax.profiler.stop_trace()
                 variables = self._variables(state)
+                if n_proc > 1:
+                    # Read the replicated weights out of local shards so
+                    # host-local programs (self-play, reanalyse, eval) don't
+                    # mix global and local shardings. Local device->host
+                    # pull; no cross-host traffic.
+                    variables = jax.tree_util.tree_map(np.asarray, variables)
                 temperature = cfg.visit_softmax_temperature_fn(training_step)
 
                 # ---- self-play chunk (all G lanes advance K moves) -------
@@ -389,13 +487,32 @@ class MuZero:
                         self.checkpoint["opponent_reward"] = opp
 
                 # ---- learner catches up to the exact ratio ----------------
-                ratio = cfg.ratio if cfg.ratio else 1.0
-                target = min(
-                    cfg.training_steps, int(ratio * replay.num_played_steps)
+                # config.ratio may be a callable schedule of the number of
+                # self-played games (the reference's best-known lunarlander
+                # setting anneals 0.8 -> 0.4 over 250 games by hand,
+                # reference games/lunarlander.py:109); the exact scheduler
+                # honors it directly.
+                # Multi-host: the target derives from GLOBAL counters so
+                # every learner shard runs the identical number of inner
+                # iterations (they meet in the gradient psum).
+                played_games = replay.num_played_games
+                played_steps = replay.num_played_steps
+                buffer_ready = bool(replay.buffer)
+                if n_proc > 1:
+                    played_games = dist_lib.global_sum(played_games)
+                    played_steps = dist_lib.global_sum(played_steps)
+                    buffer_ready = (
+                        dist_lib.global_sum(buffer_ready) == n_proc
+                    )
+                ratio = (
+                    cfg.ratio(played_games)
+                    if callable(cfg.ratio)
+                    else (cfg.ratio if cfg.ratio else 1.0)
                 )
+                target = min(cfg.training_steps, int(ratio * played_steps))
                 pending_priorities = []
                 M = max(1, int(cfg.fused_train_steps))
-                while training_step < target and replay.buffer:
+                while training_step < target and buffer_ready:
                     t0 = time.time()
                     prev_step = training_step
                     if fused_train is not None and target - training_step >= M > 1:
@@ -439,7 +556,18 @@ class MuZero:
                         > (prev_step // cfg.reanalyse_interval)
                         and replay.buffer
                     ):
-                        n = self._reanalyse_sweep(replay, reanalyse_fn, state)
+                        # Fresh weights for the refresh; multi-host reads
+                        # them out of the local replicated shards (the
+                        # sweep is a host-local program over local games).
+                        re_vars = self._variables(state)
+                        if n_proc > 1:
+                            re_vars = jax.tree_util.tree_map(
+                                np.asarray, re_vars
+                            )
+                        n = self._reanalyse_sweep(
+                            replay, reanalyse_fn, re_vars,
+                            place_obs=place_reanalyse,
+                        )
                         self.checkpoint["num_reanalysed_games"] += n
                     phase_time["reanalyse"] += time.time() - t0
                     last_metrics = metrics
@@ -460,7 +588,7 @@ class MuZero:
                     self.checkpoint["lr"] = float(last_metrics["lr"])
                     self.checkpoint["training_step"] = training_step
                     self._sync_checkpoint(state, replay)
-                    if cfg.save_model:
+                    if cfg.save_model and is_main:
                         ckpt_lib.save_checkpoint(
                             self.checkpoint,
                             cfg.results_path / "model.checkpoint",
@@ -469,8 +597,8 @@ class MuZero:
                 phase_time["checkpoint"] += time.time() - t0
 
                 self.checkpoint["training_step"] = training_step
-                self.checkpoint["num_played_games"] = replay.num_played_games
-                self.checkpoint["num_played_steps"] = replay.num_played_steps
+                self.checkpoint["num_played_games"] = int(played_games)
+                self.checkpoint["num_played_steps"] = int(played_steps)
                 if logger:
                     logger.log(self.checkpoint)
                     if loop_counter % 20 == 0:
@@ -478,15 +606,24 @@ class MuZero:
                             json.dumps({"phase_time_s": phase_time}) + "\n"
                         )
                 dt = max(1e-9, time.time() - t_start)
-                print(
-                    f'Last test reward: {self.checkpoint["total_reward"]:.2f}. '
-                    f"Training step: {training_step}/{cfg.training_steps}. "
-                    f"Played games: {replay.num_played_games}. "
-                    f'Loss: {self.checkpoint["total_loss"]:.2f}. '
-                    f"Train steps/s: {training_step / dt:.1f}. "
-                    f"Env steps/s: {replay.num_played_steps / dt:.0f}",
-                    end="\r",
+                # "Last test reward" is the last COMPLETED eval episode; for
+                # long-episode games that can lag many loops, so the open
+                # eval episode's running reward is shown alongside.
+                partial = stats.get("eval_partial_reward")
+                partial_s = (
+                    f" (open eval: {partial:.2f})." if partial is not None else ""
                 )
+                if is_main:
+                    print(
+                        f'Last test reward: {self.checkpoint["total_reward"]:.2f}.'
+                        f"{partial_s} "
+                        f"Training step: {training_step}/{cfg.training_steps}. "
+                        f"Played games: {int(played_games)}. "
+                        f'Loss: {self.checkpoint["total_loss"]:.2f}. '
+                        f"Train steps/s: {training_step / dt:.1f}. "
+                        f"Env steps/s: {played_steps / dt:.0f}",
+                        end="\r",
+                    )
         except KeyboardInterrupt:
             pass
         finally:
@@ -496,7 +633,7 @@ class MuZero:
         # Final persist (reference muzero.py:334-346, 348-367)
         self.checkpoint["training_step"] = training_step
         self._sync_checkpoint(state, replay)
-        if cfg.save_model:
+        if cfg.save_model and is_main:
             ckpt_lib.save_checkpoint(
                 self.checkpoint, cfg.results_path / "model.checkpoint"
             )

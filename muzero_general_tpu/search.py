@@ -15,6 +15,7 @@ scheduling, muzero.py:142-153) — and keeps the best if it improves.
 """
 
 import math
+import pathlib
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -71,6 +72,17 @@ def _device_slices(n_slots):
     return [[devices[i % len(devices)]] for i in range(n_slots)]
 
 
+def _slices_disjoint(slices):
+    """True iff no device appears in two slices (safe to run concurrently)."""
+    seen = set()
+    for s in slices:
+        for d in s:
+            if d in seen:
+                return False
+            seen.add(d)
+    return True
+
+
 def _run_candidate(game_name, values, base_overrides, devices, num_tests,
                    results_path):
     """Train + test one candidate on its device slice; returns
@@ -88,7 +100,7 @@ def _run_candidate(game_name, values, base_overrides, devices, num_tests,
 
 def one_plus_one_search(game_name, parametrization=None, budget=20,
                         parallel_experiments=1, num_tests=10,
-                        base_overrides=None):
+                        base_overrides=None, results_root=None):
     """(1+λ)-ES over full train+test runs; returns the best override dict.
 
     Each generation evaluates λ = parallel_experiments mutated candidates
@@ -96,15 +108,30 @@ def one_plus_one_search(game_name, parametrization=None, budget=20,
     muzero.py:495-581: nevergrad asks `parallel_experiments` candidates and
     runs that many MuZero instances at once with split GPU budgets). The
     total number of candidate evaluations is `budget`.
+
+    When the fleet has fewer devices than candidates the slices collide; in
+    that case the generation runs SEQUENTIALLY — interleaving λ full TPU
+    programs on one chip would thrash compilation/HBM and violates the
+    one-TPU-process rule (the reference at 1 GPU likewise serializes:
+    nevergrad just waits for the single running experiment,
+    reference muzero.py:530-548).
+
+    results_root: directory for per-trial artifacts; defaults to a fresh
+    timestamped `results/<game>/search-<stamp>/` so repeated searches never
+    overwrite each other's trials or the saved best checkpoint.
     """
+    import datetime
+
     from muzero_general_tpu.config import load_game_module
 
     parametrization = parametrization or DEFAULT_PARAMETRIZATION
     lam = max(1, int(parallel_experiments))
     rng = np.random.default_rng(0)
-    results_root = load_game_module(game_name).MuZeroConfig().default_results_path(
-        game_name
-    ).parent / "search"
+    if results_root is None:
+        stamp = datetime.datetime.now().strftime("%Y-%m-%d--%H-%M-%S")
+        results_root = load_game_module(game_name).MuZeroConfig(
+        ).default_results_path(game_name).parent / f"search-{stamp}"
+    results_root = pathlib.Path(results_root)
     slices = _device_slices(lam)
 
     best_values, best_score, best_checkpoint = None, -np.inf, None
@@ -119,16 +146,27 @@ def one_plus_one_search(game_name, parametrization=None, budget=20,
                 else _mutate(incumbent, parametrization, rng)
             )
         print(f"\n[search {trial + 1}..{trial + len(gen)}/{budget}] {gen}")
-        with ThreadPoolExecutor(max_workers=len(gen)) as pool:
-            futures = [
-                pool.submit(
-                    _run_candidate, game_name, cand, base_overrides,
-                    slices[i], num_tests,
+        if len(gen) > 1 and _slices_disjoint(slices[: len(gen)]):
+            with ThreadPoolExecutor(max_workers=len(gen)) as pool:
+                futures = [
+                    pool.submit(
+                        _run_candidate, game_name, cand, base_overrides,
+                        slices[i], num_tests,
+                        results_root / f"trial_{trial + i:03d}",
+                    )
+                    for i, cand in enumerate(gen)
+                ]
+                outcomes = [f.result() for f in futures]
+        else:
+            # Colliding slices (fewer devices than candidates): evaluate
+            # sequentially — one accelerator program at a time.
+            outcomes = [
+                _run_candidate(
+                    game_name, cand, base_overrides, slices[i], num_tests,
                     results_root / f"trial_{trial + i:03d}",
                 )
                 for i, cand in enumerate(gen)
             ]
-            outcomes = [f.result() for f in futures]
         for cand, (score, checkpoint) in zip(gen, outcomes):
             print(f"[search] {cand} -> score {score:.2f}")
             if score > best_score:

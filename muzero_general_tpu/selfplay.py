@@ -125,6 +125,10 @@ class SelfPlayDriver:
         self._carry = None
         # Per-lane lists of record slabs ([T, ...] arrays) awaiting a done cut
         self._pending = [[] for _ in range(self.G)]
+        # Running reward of the greedy eval lane's in-progress episode, so
+        # the operator console isn't stale for long-episode games (an eval
+        # episode only *completes* every max_moves/chunk_moves loops).
+        self._eval_partial = 0.0
         self._chunk_cache = {}
         self._build()
 
@@ -328,6 +332,13 @@ class SelfPlayDriver:
             "pred_values": rec.pred_value,
             "eval_games": eval_games,
         }
+        if self.greedy_lanes:
+            done0 = np.flatnonzero(rec.done[:, 0])
+            if done0.size:
+                self._eval_partial = float(rec.reward[done0[-1] + 1 :, 0].sum())
+            else:
+                self._eval_partial += float(rec.reward[:, 0].sum())
+            stats["eval_partial_reward"] = self._eval_partial
         for g in range(self.G):
             sink = eval_games if g < self.greedy_lanes else completed
             done_ks = np.flatnonzero(rec.done[:, g])

@@ -55,6 +55,35 @@ def _leaves(tree):
     return jax.tree_util.tree_leaves(tree)
 
 
+def test_ratio_schedule_callable_is_honored():
+    """config.ratio may be a callable of num_played_games; the exact
+    scheduler queries it each loop (reference lunarlander.py:109's hand
+    anneal 0.8 -> 0.4 over 250 games, here first-class)."""
+    calls = []
+
+    def sched(games):
+        calls.append(games)
+        return 5.0
+
+    mz = MuZero("cartpole", dict(OVR, max_moves=16))
+    mz.config.ratio = sched
+    mz.config.results_path = pathlib.Path(tempfile.mkdtemp())
+    ck = mz.train(log_in_tensorboard=False)
+    assert ck["training_step"] == OVR["training_steps"]
+    # Queried with the (non-decreasing) self-played game count each loop.
+    assert calls and calls == sorted(calls)
+
+
+def test_lunarlander_ships_ratio_anneal():
+    from muzero_general_tpu.games.lunarlander import MuZeroConfig
+
+    r = MuZeroConfig().ratio
+    assert abs(r(0) - 0.8) < 1e-9
+    assert abs(r(125) - 0.6) < 1e-9
+    assert abs(r(250) - 0.4) < 1e-9
+    assert abs(r(1000) - 0.4) < 1e-9
+
+
 def test_load_checkpoint_without_buffer_resets_counters():
     d = pathlib.Path(tempfile.mkdtemp())
     mz = MuZero("cartpole", dict(OVR))

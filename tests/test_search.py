@@ -52,9 +52,44 @@ def test_parallel_search_runs_two_candidates_concurrently(tmp_path):
         parallel_experiments=2,
         num_tests=1,
         base_overrides=TINY,
+        results_root=tmp_path / "search",
     )
     assert set(best) == {"lr_init"}
     assert 1e-3 <= best["lr_init"] <= 1e-1
+
+
+def test_colliding_slices_serialize(tmp_path, monkeypatch):
+    """λ=2 candidates on a 1-device fleet must run sequentially, not as
+    interleaved accelerator programs (one-TPU-process rule; reference at
+    1 GPU likewise runs one experiment at a time, muzero.py:530-548)."""
+    import muzero_general_tpu.search as search_mod
+
+    one_dev = [jax.devices()[0]]
+    monkeypatch.setattr(
+        search_mod, "_device_slices", lambda n: [one_dev for _ in range(n)]
+    )
+    active = {"now": 0, "max": 0}
+    real_run = search_mod._run_candidate
+
+    def tracking_run(*args, **kwargs):
+        active["now"] += 1
+        active["max"] = max(active["max"], active["now"])
+        try:
+            return real_run(*args, **kwargs)
+        finally:
+            active["now"] -= 1
+
+    monkeypatch.setattr(search_mod, "_run_candidate", tracking_run)
+    search_mod.one_plus_one_search(
+        "cartpole",
+        parametrization={"lr_init": ("log", 1e-3, 1e-1)},
+        budget=2,
+        parallel_experiments=2,
+        num_tests=1,
+        base_overrides=TINY,
+        results_root=tmp_path / "search",
+    )
+    assert active["max"] == 1
 
 
 def test_muzero_device_group_pins_programs(tmp_path):

@@ -37,7 +37,11 @@ def run(deterministic, steps, tests, seed=0):
         },
     )
     # The engine knob is make_env's, not the config's (envs/host.py:80).
-    mz.make_env = lambda: lunarlander.make_env(deterministic=deterministic)
+    # Keep the seed kwarg: HostSelfPlayDriver calls env_factory(seed=...)
+    # per lane (hostplay.py:35).
+    mz.make_env = lambda seed=None: lunarlander.make_env(
+        seed=seed, deterministic=deterministic
+    )
     t0 = time.time()
     mz.train(log_in_tensorboard=True)
     wall = time.time() - t0

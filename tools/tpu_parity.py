@@ -13,8 +13,11 @@ returns the LAST max index on ties (XLA: first), and default-precision
 selection matmuls truncating priors/hiddens to bf16.
 
 Checks:
-- deterministic-tie-break fused AND staged runs must match the f32 oracle
+- the deterministic-tie-break fused run must match the f32 oracle
   near-exactly (<=1% entries, ELU exp-1 ULP tolerance) with values allclose;
+- the deterministic staged run must match EXACTLY (0 mismatched entries):
+  its inference runs in XLA with the same ELU as the oracle, so no tolerance
+  is warranted;
 - the jittered (production) run resolves exact ties uniformly at random —
   the reference's own semantics (self_play.py:371-377) — so it legitimately
   diverges from the deterministic oracle at sim-0 root ties; it is checked
