@@ -151,6 +151,17 @@ class MuZeroConfig:
         # doesn't fit VMEM blocks or the network is a ResNet. "auto" as above
         # — `MuZero(game).train()` on a TPU takes the fast path by default.
         self.use_fused_search = "auto"
+        # MXU precision of the fused kernel's NETWORK matmuls (the FC
+        # triplet executed inside the search kernel). The 0/1 selection
+        # matmuls always run at HIGHEST (exactness is required for oracle
+        # parity — ops/mcts_fused.py EXACT); the network tier is a
+        # speed/accuracy knob mapping to jax.lax.Precision:
+        # "highest" = 6-pass bf16x6 (matches the XLA f32 oracle to ELU-ULP),
+        # "default" = single bf16 pass (fastest, ~8 mantissa bits — search
+        # quality is typically unaffected but visit counts diverge from the
+        # f32 oracle). Mosaic has no middle tier. Measured per tier in
+        # RESULTS.md round 3.
+        self.fused_net_precision = "highest"
         # Gumbel MuZero root action selection (ops/gumbel.py, Danihelka et
         # al. ICLR 2022): sequential-halving root search + improved-policy
         # targets — the same policy improvement with far fewer simulations

@@ -18,13 +18,10 @@ from muzero_general_tpu.ops.support import support_to_scalar
 def _root_child_stats(tree, num_simulations):
     """Per-action (prior, visits, value, reward) of the root's children;
     NaN where the edge was never materialized (illegal at root)."""
-    child = np.asarray(tree.children_index[0, 0])  # [A]
-    prior = np.asarray(tree.children_prior[0, 0])
-    exists = child >= 0
-    safe = np.maximum(child, 0)
-    visits = np.asarray(tree.visit_count[0])[safe]
-    vsum = np.asarray(tree.value_sum[0])[safe]
-    reward = np.asarray(tree.reward[0])[safe]
+    prior = np.asarray(tree.children_prior[0, 0])  # [A]
+    visits = np.asarray(tree.children_visit[0, 0])
+    vsum = np.asarray(tree.children_vsum[0, 0])
+    reward = np.asarray(tree.children_reward[0, 0])
     value = np.where(visits > 0, vsum / np.maximum(visits, 1), 0.0)
     nan = np.nan
     legal = np.asarray(tree.root_legal[0])
@@ -154,8 +151,7 @@ class DiagnoseModel:
             action = int(np.argmax(visits))
             virtual_to_play = (virtual_to_play + 1) % P
 
-            b_idx = np.zeros(1, np.int32)
-            root_hidden = out.tree.hidden[:, 0]
+            root_hidden = out.tree.hidden[0]  # node-major store: node 0 row
             value_l, reward_l, policy_l, hidden = self.runner.recurrent_inference(
                 variables, root_hidden, jnp.full((1,), action, jnp.int32)
             )
@@ -249,26 +245,31 @@ class DiagnoseModel:
             print("Please install graphviz to get the MCTS plot.")
             return None
 
-        visit = np.asarray(tree.visit_count[0])
-        vsum = np.asarray(tree.value_sum[0])
-        reward = np.asarray(tree.reward[0])
         children_index = np.asarray(tree.children_index[0])
         children_prior = np.asarray(tree.children_prior[0])
+        children_visit = np.asarray(tree.children_visit[0])
+        children_vsum = np.asarray(tree.children_vsum[0])
+        children_reward = np.asarray(tree.children_reward[0])
+        root_visit = int(tree.root_visit[0])
+        root_vsum = float(tree.root_vsum[0])
+        root_reward = float(tree.root_reward[0])
 
         graph = Digraph(comment="MCTS", engine="neato")
         graph.attr("graph", rankdir="LR", splines="true", overlap="false")
         counter = [0]
 
-        def traverse(node, action, prior, parent_gid, best):
+        def traverse(node, action, prior, visit, vsum, reward, parent_gid, best):
+            # A node's stats are its incoming edge's (edge-array Tree,
+            # ops/mcts.py); the root passes its explicit scalars.
             gid = counter[0]
             counter[0] += 1
-            value = vsum[node] / visit[node] if visit[node] else 0.0
+            value = vsum / visit if visit else 0.0
             graph.node(
                 str(gid),
                 label=(
                     f"Action: {action}\nValue: {value:.2f}\n"
-                    f"Visit count: {visit[node]}\nPrior: {prior:.2f}\n"
-                    f"Reward: {reward[node]:.2f}"
+                    f"Visit count: {visit}\nPrior: {prior:.2f}\n"
+                    f"Reward: {reward:.2f}"
                 ),
                 color="orange" if best else "black",
             )
@@ -276,17 +277,23 @@ class DiagnoseModel:
                 graph.edge(str(parent_gid), str(gid), constraint="false")
             kids = children_index[node]
             kid_visits = [
-                visit[kids[a]] for a in range(len(kids)) if kids[a] >= 0
+                children_visit[node][a]
+                for a in range(len(kids))
+                if kids[a] >= 0
             ]
             best_visits = max(kid_visits) if kid_visits else 0
             for a in range(len(kids)):
-                if kids[a] >= 0 and visit[kids[a]] != 0:
+                if kids[a] >= 0 and children_visit[node][a] != 0:
                     traverse(
-                        kids[a], a, children_prior[node][a], gid,
-                        best_visits and visit[kids[a]] == best_visits,
+                        kids[a], a, children_prior[node][a],
+                        int(children_visit[node][a]),
+                        float(children_vsum[node][a]),
+                        float(children_reward[node][a]),
+                        gid,
+                        best_visits and children_visit[node][a] == best_visits,
                     )
 
-        traverse(0, None, 0.0, None, True)
+        traverse(0, None, 0.0, root_visit, root_vsum, root_reward, None, True)
         graph.node(str(0), color="red")
         try:
             graph.render(filename, view=plot, cleanup=True, format="pdf")

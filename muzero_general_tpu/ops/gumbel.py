@@ -126,23 +126,16 @@ def table_of_considered_visits(max_considered: int, num_simulations: int):
 
 
 def _children_q(tree: mcts_ops.Tree, node, spec: GumbelSpec):
-    """Per-edge (visits, q) of `node` [B]: q = r + discount * sign * value.
+    """Per-edge (visits, q, prior) of `node` [B]: q = r + discount*sign*value.
 
     Same q convention as the pUCT value term (ops/mcts.py:_ucb_scores,
-    reference self_play.py:394-404).
+    reference self_play.py:394-404); stats read straight off the edge rows.
     """
-    B = tree.visit_count.shape[0]
-    b_idx = jnp.arange(B)
-    child_idx = tree.children_index[b_idx, node]  # [B, A]
-    exists = child_idx >= 0
-    safe = jnp.maximum(child_idx, 0)
-    cvis = jnp.where(exists, tree.visit_count[b_idx[:, None], safe], 0)
-    cvsum = jnp.where(exists, tree.value_sum[b_idx[:, None], safe], 0.0)
-    crew = jnp.where(exists, tree.reward[b_idx[:, None], safe], 0.0)
-    cval = jnp.where(cvis > 0, cvsum / jnp.maximum(cvis, 1), 0.0)
+    cvis, cvsum, crew, cprior = mcts_ops.edge_stats(tree, node)
+    cval = jnp.where(cvis > 0, cvsum / jnp.maximum(cvis, 1.0), 0.0)
     sign = 1.0 if spec.num_players == 1 else -1.0
     q = crew + spec.discount * sign * cval
-    return cvis, q
+    return cvis.astype(jnp.int32), q, cprior
 
 
 def _completed_q_hat(visits, q, node_value, prior, legal, spec: GumbelSpec):
@@ -176,37 +169,49 @@ def _completed_q_hat(visits, q, node_value, prior, legal, spec: GumbelSpec):
 
 def _improved_logits(tree: mcts_ops.Tree, node, node_value, legal, spec):
     """logits + sigma(completed q) for the A edges of `node` [B]."""
-    B = tree.visit_count.shape[0]
-    b_idx = jnp.arange(B)
-    prior = tree.children_prior[b_idx, node]  # [B, A]
-    visits, q = _children_q(tree, node, spec)
+    visits, q, prior = _children_q(tree, node, spec)
     sigma_q = _completed_q_hat(visits, q, node_value, prior, legal, spec)
     logits = jnp.log(jnp.maximum(prior, 1e-30))
     return logits + sigma_q, visits
 
 
 def _simulate_once_gumbel(
-    tree, sim, rng, spec: GumbelSpec, recurrent_fn, root_to_play,
-    gumbel, prescribed, num_considered,
+    tree, hidden, pending, sim, rng, spec: GumbelSpec, recurrent_fn,
+    root_to_play, gumbel, prescribed, num_considered, depth_bound,
 ):
     """One simulation: gumbel-scheduled root pick, deterministic descent."""
     B, _ = tree.root_legal.shape
     b_idx = jnp.arange(B)
-    new_node = sim + 1
     del rng  # selection is deterministic given the root gumbel draw
+    # Flush the previous simulation's leaf write (software-pipelined hidden
+    # store — ops/mcts.py module docstring).
+    pending_node, pending_leaf = pending
+    hidden = jax.lax.dynamic_update_slice(  # DUS, not scatter: ops/mcts.py
+        hidden,
+        pending_leaf.astype(hidden.dtype)[None],
+        (pending_node,) + (0,) * (hidden.ndim - 1),
+    )
 
-    path0 = jnp.full((B, spec.max_depth + 1), -1, jnp.int32).at[:, 0].set(0)
+    path_n0 = jnp.full((B, spec.max_depth + 1), -1, jnp.int32).at[:, 0].set(0)
+    path_a0 = jnp.zeros((B, spec.max_depth + 1), jnp.int32)
+    trip = jnp.minimum(depth_bound, spec.max_depth)
 
     def desc_cond(state):
-        _, _, _, active, _, _ = state
-        return jnp.any(active)
+        *_rest, t = state
+        return t < trip  # scalar-only condition (ops/mcts.py descent note)
 
     def desc_body(state):
-        current, depth, path, active, parent, action = state
+        (current, node_value, depth, path_n, path_a, active, parent, action,
+         t) = state
         at_root = current == 0
-        node_value = tree.node_value(b_idx, current)
         legal = jnp.where(at_root[:, None], tree.root_legal, True)
-        imp_logits, visits = _improved_logits(tree, current, node_value, legal, spec)
+        cvis_f, cvsum, crew, cprior = mcts_ops.edge_stats(tree, current)
+        visits = cvis_f.astype(jnp.int32)
+        cval = jnp.where(cvis_f > 0, cvsum / jnp.maximum(cvis_f, 1.0), 0.0)
+        sign = 1.0 if spec.num_players == 1 else -1.0
+        q = crew + spec.discount * sign * cval
+        sigma_q = _completed_q_hat(visits, q, node_value, cprior, legal, spec)
+        imp_logits = jnp.log(jnp.maximum(cprior, 1e-30)) + sigma_q
 
         # Root: among candidates whose visit count equals the prescribed
         # sequential-halving value, argmax of g + logits + sigma(q_hat).
@@ -226,27 +231,35 @@ def _simulate_once_gumbel(
         )
 
         sel = jnp.where(at_root, sel_root, sel_int).astype(jnp.int32)
+        path_a = path_a.at[b_idx, depth].set(
+            jnp.where(active, sel, path_a[b_idx, depth])
+        )
         child = tree.children_index[b_idx, current, sel]
         hits_leaf = active & (child < 0)
         parent = jnp.where(hits_leaf, current, parent)
         action = jnp.where(hits_leaf, sel, action)
         active = active & (child >= 0)
         current = jnp.where(active, child, current)
-        depth = depth + active.astype(jnp.int32)
-        path = path.at[b_idx, depth].set(
-            jnp.where(active, current, path[b_idx, depth])
+        # Descending an edge: the next node's value() is that edge's
+        # value_sum/visit (edge stats ARE the child's node stats).
+        node_value = jnp.where(
+            active, cval[b_idx, sel], node_value
         )
-        return current, depth, path, active, parent, action
+        depth = depth + active.astype(jnp.int32)
+        path_n = path_n.at[b_idx, depth].set(
+            jnp.where(active, current, path_n[b_idx, depth])
+        )
+        return (current, node_value, depth, path_n, path_a, active, parent,
+                action, t + 1)
 
     z = jnp.zeros((B,), jnp.int32)
-    _, depth, path, _, parent, action = jax.lax.while_loop(
+    _, _, depth, path_n, path_a, _, parent, action, _ = jax.lax.while_loop(
         desc_cond,
         desc_body,
-        (z, z, path0, jnp.ones((B,), bool), z, z),
+        (z, tree.root_value(), z, path_n0, path_a0, jnp.ones((B,), bool),
+         z, z, jnp.int32(0)),
     )
     leaf_depth = depth + 1
-    path = path.at[b_idx, leaf_depth].set(new_node)
-    vt_leaf = (root_to_play + leaf_depth) % spec.num_players
 
     mcts_spec = mcts_ops.SearchSpec(
         num_simulations=spec.num_simulations,
@@ -260,8 +273,8 @@ def _simulate_once_gumbel(
         max_depth=spec.max_depth,
     )
     return mcts_ops._expand_and_backprop(
-        tree, sim, mcts_spec, recurrent_fn, parent, action, path, leaf_depth,
-        vt_leaf,
+        tree, hidden, sim, mcts_spec, recurrent_fn, parent, action,
+        path_n, path_a, leaf_depth,
     )
 
 
@@ -303,39 +316,28 @@ def run_gumbel_mcts(
         table_of_considered_visits(m_cap, spec.num_simulations)
     )  # [m_cap+1, S]
 
-    hidden_store = jnp.zeros((B, N) + hidden0.shape[1:], hidden0.dtype)
-    hidden_store = hidden_store.at[:, 0].set(hidden0)
-    tree = mcts_ops.Tree(
-        visit_count=jnp.zeros((B, N), jnp.int32),
-        value_sum=jnp.zeros((B, N), jnp.float32),
-        reward=jnp.zeros((B, N), jnp.float32).at[:, 0].set(root_reward),
-        to_play=jnp.zeros((B, N), jnp.int32).at[:, 0].set(to_play),
-        children_index=jnp.full((B, N, A), -1, jnp.int32),
-        children_prior=jnp.zeros((B, N, A), jnp.float32).at[:, 0].set(prior),
-        hidden=hidden_store,
-        root_legal=legal_mask,
-        min_value=jnp.full((B,), jnp.inf),
-        max_value=jnp.full((B,), -jnp.inf),
-    )
+    tree = mcts_ops.init_tree(N, prior, legal_mask, to_play, root_reward)
+    hidden = jnp.zeros((N,) + hidden0.shape, hidden0.dtype)
+    pending0 = (jnp.int32(0), hidden0)
 
     def sim_body(carry, sim):
-        tree, max_depth = carry
+        tree, hidden, pending, max_depth = carry
         prescribed = table[num_considered, sim]  # [B]
-        tree, leaf_depth = _simulate_once_gumbel(
-            tree, sim, rng, spec, recurrent_fn, to_play,
-            gumbel, prescribed, num_considered,
+        tree, hidden, pending, leaf_depth = _simulate_once_gumbel(
+            tree, hidden, pending, sim, rng, spec, recurrent_fn, to_play,
+            gumbel, prescribed, num_considered, jnp.max(max_depth) + 1,
         )
-        return (tree, jnp.maximum(max_depth, leaf_depth)), None
+        return (tree, hidden, pending,
+                jnp.maximum(max_depth, leaf_depth)), None
 
-    (tree, max_depth), _ = jax.lax.scan(
+    (tree, hidden, pending, max_depth), _ = jax.lax.scan(
         sim_body,
-        (tree, jnp.zeros((B,), jnp.int32)),
+        (tree, hidden, pending0, jnp.zeros((B,), jnp.int32)),
         jnp.arange(spec.num_simulations),
     )
 
-    b_idx = jnp.arange(B)
     root0 = jnp.zeros((B,), jnp.int32)
-    root_value = tree.node_value(b_idx, root0)
+    root_value = tree.root_value()
     imp_logits, root_visits = _improved_logits(
         tree, root0, root_value, legal_mask, spec
     )

@@ -19,6 +19,42 @@ with the reference search:
   reference raises NotImplementedError for >2 players (self_play.py:430),
   which we check at trace time.
 
+Storage layout (TPU-tuned, round 3):
+
+- **Edge-array statistics**: visit counts, value sums, rewards, and priors
+  live on the EDGES of each node — [B, N, A] arrays indexed (lane, node,
+  action) — instead of on child nodes. One [A]-row gather per tree level
+  replaces the old double gather (children_index then per-child stats), and
+  the stats of unexpanded edges are naturally zero (the reference creates
+  zero-visit child Nodes carrying only a prior, self_play.py:345-351 — an
+  edge row is exactly that). A node's own statistics equal its incoming
+  edge's (every path through a node crosses that edge), and its visit count
+  satisfies visit(n) = 1 + sum_a edge_visit(n, a) for interior nodes
+  (its expansion visit plus one per descent into a child) and
+  visit(root) = sum_a edge_visit(root, a) (the root is expanded before
+  simulation 0). The root keeps explicit [B] scalars since it has no
+  incoming edge.
+- **Node-major hidden store with a software-pipelined leaf write**: the
+  per-node hidden states are by far the largest tree array (connect4
+  200-sim tree at 256 lanes: 553 MB f32) and each simulation reads one
+  row (the parent, an XLA gather) and writes one row (the new leaf).
+  Writing in the same scan iteration as the gather makes XLA materialize
+  full-store copies to protect the read of the pre-update buffer
+  (profiler-measured: 1.45 ms/sim — 78% of a connect4 move; an aliased
+  Pallas row write and a jax.Ref were no better IN CONTEXT, 5 ms and
+  11 ms/sim). Instead each simulation's leaf write is DEFERRED to the
+  START of the next simulation: the body runs
+  store = store.at[pending_node].set(pending_leaf); ... gather(store) —
+  every read is of the post-update value, the pre-update buffer is dead at
+  the write, and XLA's in-place dynamic-update-slice pass keeps the store
+  in place with zero copies. Correctness is unchanged: the node written at
+  simulation s only becomes reachable by descents at s+1, whose body
+  flushes the write first.
+- **to_play by depth parity**: the player at tree depth t is
+  (root_to_play + t) % num_players (the reference advances virtual_to_play
+  one player per edge, self_play.py:330-334), so backprop's sign flips are
+  arithmetic on depths and nothing is gathered.
+
 Each simulation expands exactly one node, so a search of S simulations needs
 S+1 node slots. The root is node 0.
 """
@@ -101,23 +137,30 @@ class SearchSpec(NamedTuple):
 
 
 class Tree(NamedTuple):
-    """SoA tree storage, leading dims [B, N] with N = num_simulations + 1."""
+    """SoA tree storage, N = num_simulations + 1 node slots, root = node 0.
 
-    visit_count: jnp.ndarray  # [B, N] int32
-    value_sum: jnp.ndarray  # [B, N] float32
-    reward: jnp.ndarray  # [B, N] float32 (decoded scalar)
-    to_play: jnp.ndarray  # [B, N] int32
+    Statistics are per-EDGE ([B, N, A], see module docstring); hidden states
+    are node-major ([N, B, ...]).
+    """
+
     children_index: jnp.ndarray  # [B, N, A] int32, -1 = unexpanded edge
     children_prior: jnp.ndarray  # [B, N, A] float32
-    hidden: jnp.ndarray  # [B, N, ...] network hidden states
+    children_visit: jnp.ndarray  # [B, N, A] int32 — edge visit counts
+    children_vsum: jnp.ndarray  # [B, N, A] float32 — edge value sums
+    children_reward: jnp.ndarray  # [B, N, A] float32 — child node rewards
     root_legal: jnp.ndarray  # [B, A] bool
+    root_visit: jnp.ndarray  # [B] int32 — the root has no incoming edge
+    root_vsum: jnp.ndarray  # [B] float32
+    root_reward: jnp.ndarray  # [B] float32
+    root_to_play: jnp.ndarray  # [B] int32
     min_value: jnp.ndarray  # [B] MinMaxStats minimum
     max_value: jnp.ndarray  # [B] MinMaxStats maximum
 
-    def node_value(self, b_idx, node):
-        """Node.value(): value_sum/visit_count, 0 if unvisited (self_play.py:446-449)."""
-        v = self.visit_count[b_idx, node]
-        return jnp.where(v > 0, self.value_sum[b_idx, node] / jnp.maximum(v, 1), 0.0)
+    def root_value(self):
+        """Root Node.value(): value_sum/visit_count, 0 if unvisited
+        (reference self_play.py:446-449)."""
+        v = self.root_visit
+        return jnp.where(v > 0, self.root_vsum / jnp.maximum(v, 1), 0.0)
 
 
 class MCTSOutput(NamedTuple):
@@ -126,6 +169,7 @@ class MCTSOutput(NamedTuple):
     root_predicted_value: jnp.ndarray  # [B] network value at the root
     max_tree_depth: jnp.ndarray  # [B] int32
     tree: Tree
+    root_hidden: jnp.ndarray = None  # [B, ...] the root's hidden state
 
 
 def masked_softmax(logits, mask):
@@ -151,31 +195,39 @@ def _random_argmax(rng, scores):
     return jax.random.categorical(rng, logits, axis=-1)
 
 
+def edge_stats(tree: Tree, node):
+    """The A edge rows of `node` [B]: (visit f32, vsum, reward, prior), one
+    gather each — the edge-array replacement for the old double gather."""
+    B = tree.children_index.shape[0]
+    b_idx = jnp.arange(B)
+    cvis = tree.children_visit[b_idx, node].astype(jnp.float32)
+    cvsum = tree.children_vsum[b_idx, node]
+    crew = tree.children_reward[b_idx, node]
+    cprior = tree.children_prior[b_idx, node]
+    return cvis, cvsum, crew, cprior
+
+
+def parent_visit_from_edges(node, cvis):
+    """visit(node) from its edge rows: 1 + sum(edges) interior, sum at root."""
+    return jnp.sum(cvis, axis=-1) + (node != 0).astype(jnp.float32)
+
+
 def _ucb_scores(tree: Tree, node, spec: SearchSpec):
     """Vectorized pUCT over all A child edges of `node` [B] (self_play.py:380-404)."""
-    B = tree.visit_count.shape[0]
-    b_idx = jnp.arange(B)
-    parent_visit = tree.visit_count[b_idx, node].astype(jnp.float32)  # [B]
-    child_idx = tree.children_index[b_idx, node]  # [B, A]
-    exists = child_idx >= 0
-    safe_idx = jnp.maximum(child_idx, 0)
-    child_visit = jnp.where(exists, tree.visit_count[b_idx[:, None], safe_idx], 0)
-    child_vsum = jnp.where(exists, tree.value_sum[b_idx[:, None], safe_idx], 0.0)
-    child_reward = jnp.where(exists, tree.reward[b_idx[:, None], safe_idx], 0.0)
-    child_value = jnp.where(
-        child_visit > 0, child_vsum / jnp.maximum(child_visit, 1), 0.0
-    )
+    cvis, cvsum, crew, cprior = edge_stats(tree, node)
+    parent_visit = parent_visit_from_edges(node, cvis)  # [B]
+    child_value = jnp.where(cvis > 0, cvsum / jnp.maximum(cvis, 1.0), 0.0)
 
     pb_c = (
         jnp.log((parent_visit + spec.pb_c_base + 1.0) / spec.pb_c_base)
         + spec.pb_c_init
     )
-    pb_c = pb_c[:, None] * jnp.sqrt(parent_visit)[:, None] / (child_visit + 1.0)
-    prior_score = pb_c * tree.children_prior[b_idx, node]
+    pb_c = pb_c[:, None] * jnp.sqrt(parent_visit)[:, None] / (cvis + 1.0)
+    prior_score = pb_c * cprior
 
     sign = 1.0 if spec.num_players == 1 else -1.0
-    q = child_reward + spec.discount * sign * child_value
-    value_score = jnp.where(child_visit > 0, _normalize(tree, q), 0.0)
+    q = crew + spec.discount * sign * child_value
+    value_score = jnp.where(cvis > 0, _normalize(tree, q), 0.0)
 
     scores = prior_score + value_score
     # At the root only legal actions are candidate children (self_play.py:296-308).
@@ -184,65 +236,91 @@ def _ucb_scores(tree: Tree, node, spec: SearchSpec):
     return scores
 
 
-def _simulate_once(tree: Tree, sim, rng, spec: SearchSpec, recurrent_fn, root_to_play):
-    """One simulation for all B trees: descend, expand node sim+1, backprop."""
-    B = tree.visit_count.shape[0]
+def _simulate_once(tree: Tree, hidden, pending, sim, rng, spec: SearchSpec,
+                   recurrent_fn, depth_bound):
+    """One simulation for all B trees: descend, expand node sim+1, backprop.
+
+    hidden: the [N, B, ...] node-major hidden store. pending =
+    (node, leaf_hidden) from the PREVIOUS simulation, flushed into the
+    store first (software-pipelined write — module docstring). Returns the
+    new pending write instead of writing this sim's leaf itself.
+    depth_bound: scalar i32 upper bound on this descent's length (max leaf
+    depth of all previous simulations + 1) — loop trip counts are scalar so
+    neither descent nor backprop pays a per-level vector->scalar sync.
+    """
+    B = tree.children_index.shape[0]
     b_idx = jnp.arange(B)
-    new_node = sim + 1
+    pending_node, pending_leaf = pending
+    # Explicit dynamic-update-slice: .at[node].set lowers to a scatter that
+    # XLA:TPU turns into a whole-store kLoop fusion (~6 ms estimated at
+    # connect4 size); DUS is recognized by the in-place pass.
+    hidden = jax.lax.dynamic_update_slice(
+        hidden,
+        pending_leaf.astype(hidden.dtype)[None],
+        (pending_node,) + (0,) * (hidden.ndim - 1),
+    )
 
     if spec.use_pallas:
         from muzero_general_tpu.ops import mcts_pallas
 
         seed = jax.random.randint(rng, (), 0, 2**31 - 1)
-        parent, action, leaf_depth, path = mcts_pallas.descend(
-            seed,
-            tree.visit_count,
-            tree.value_sum,
-            tree.reward,
-            tree.children_index,
-            tree.children_prior,
-            tree.root_legal,
-            tree.min_value,
-            tree.max_value,
-            num_players=spec.num_players,
-            pb_c_base=spec.pb_c_base,
-            pb_c_init=spec.pb_c_init,
-            discount=spec.discount,
-            A=tree.root_legal.shape[1],
-            max_depth=spec.max_depth,
-            # Same zeroing rule as mcts_fused.FusedSpec.from_config: interpret
-            # runs use deterministic lowest-index tie-break (see the
-            # TIE_JITTER note in ops/mcts_pallas.py).
-            tie_jitter=(
-                0.0
-                if (spec.deterministic_tie_break or spec.pallas_interpret)
-                else mcts_pallas.TIE_JITTER
-            ),
-            interpret=spec.pallas_interpret,
+        parent, action, leaf_depth, path_nodes, path_actions = (
+            mcts_pallas.descend(
+                seed,
+                depth_bound,
+                tree.children_index,
+                tree.children_prior,
+                tree.children_visit,
+                tree.children_vsum,
+                tree.children_reward,
+                tree.root_legal,
+                tree.min_value,
+                tree.max_value,
+                num_players=spec.num_players,
+                pb_c_base=spec.pb_c_base,
+                pb_c_init=spec.pb_c_init,
+                discount=spec.discount,
+                A=tree.root_legal.shape[1],
+                max_depth=spec.max_depth,
+                # Same zeroing rule as mcts_fused.FusedSpec.from_config:
+                # interpret runs use deterministic lowest-index tie-break
+                # (see the TIE_JITTER note in ops/mcts_pallas.py).
+                tie_jitter=(
+                    0.0
+                    if (spec.deterministic_tie_break or spec.pallas_interpret)
+                    else mcts_pallas.TIE_JITTER
+                ),
+                interpret=spec.pallas_interpret,
+            )
         )
-        path = path.at[b_idx, leaf_depth].set(new_node)
-        vt_leaf = (root_to_play + leaf_depth) % spec.num_players
         return _expand_and_backprop(
-            tree, sim, spec, recurrent_fn, parent, action, path, leaf_depth,
-            vt_leaf,
+            tree, hidden, sim, spec, recurrent_fn, parent, action,
+            path_nodes, path_actions, leaf_depth,
         )
 
     # ---- Descent: follow max-UCB edges until an unexpanded edge ----------
-    # path[b, t] = node visited at depth t (root = depth 0); -1 padding.
-    path0 = jnp.full((B, spec.max_depth + 1), -1, jnp.int32).at[:, 0].set(0)
+    # path_nodes[b, t] = node visited at depth t (root = depth 0);
+    # path_actions[b, t] = action taken FROM that node; -1/0 padding.
+    path_n0 = jnp.full((B, spec.max_depth + 1), -1, jnp.int32).at[:, 0].set(0)
+    path_a0 = jnp.zeros((B, spec.max_depth + 1), jnp.int32)
+
+    trip = jnp.minimum(depth_bound, spec.max_depth)
 
     def desc_cond(state):
-        _, _, _, active, _, _ = state
-        return jnp.any(active)
+        *_rest, t = state
+        return t < trip  # scalar-only condition; lanes self-mask via active
 
     def desc_body(state):
-        current, depth, path, active, parent, action = state
-        key = jax.random.fold_in(rng, jnp.max(depth) + 1)
+        current, depth, path_n, path_a, active, parent, action, t = state
+        key = jax.random.fold_in(rng, t + 1)
         scores = _ucb_scores(tree, current, spec)
         if spec.deterministic_tie_break:
             sel = jnp.argmax(scores, axis=-1)
         else:
             sel = _random_argmax(key, scores)  # [B]
+        path_a = path_a.at[b_idx, depth].set(
+            jnp.where(active, sel, path_a[b_idx, depth])
+        )
         child = tree.children_index[b_idx, current, sel]
         hits_leaf = active & (child < 0)
         parent = jnp.where(hits_leaf, current, parent)
@@ -250,39 +328,46 @@ def _simulate_once(tree: Tree, sim, rng, spec: SearchSpec, recurrent_fn, root_to
         active = active & (child >= 0)
         current = jnp.where(active, child, current)
         depth = depth + active.astype(jnp.int32)
-        path = path.at[b_idx, depth].set(jnp.where(active, current, path[b_idx, depth]))
-        return current, depth, path, active, parent, action
+        path_n = path_n.at[b_idx, depth].set(
+            jnp.where(active, current, path_n[b_idx, depth])
+        )
+        return current, depth, path_n, path_a, active, parent, action, t + 1
 
     current0 = jnp.zeros((B,), jnp.int32)
     depth0 = jnp.zeros((B,), jnp.int32)
     parent0 = jnp.zeros((B,), jnp.int32)
     action0 = jnp.zeros((B,), jnp.int32)
     active0 = jnp.ones((B,), bool)
-    _, depth, path, _, parent, action = jax.lax.while_loop(
-        desc_cond, desc_body, (current0, depth0, path0, active0, parent0, action0)
+    _, depth, path_n, path_a, _, parent, action, _ = jax.lax.while_loop(
+        desc_cond,
+        desc_body,
+        (current0, depth0, path_n0, path_a0, active0, parent0, action0,
+         jnp.int32(0)),
     )
     # The new node sits one edge below the deepest recorded node.
     leaf_depth = depth + 1  # edges from root to the new node
-    path = path.at[b_idx, leaf_depth].set(new_node)
-
-    # virtual_to_play advances one player per edge (self_play.py:330-334).
-    vt_leaf = (root_to_play + leaf_depth) % spec.num_players
     return _expand_and_backprop(
-        tree, sim, spec, recurrent_fn, parent, action, path, leaf_depth, vt_leaf
+        tree, hidden, sim, spec, recurrent_fn, parent, action, path_n,
+        path_a, leaf_depth,
     )
 
 
 def _expand_and_backprop(
-    tree: Tree, sim, spec: SearchSpec, recurrent_fn, parent, action, path,
-    leaf_depth, vt_leaf,
+    tree: Tree, hidden, sim, spec: SearchSpec, recurrent_fn, parent,
+    action, path_nodes, path_actions, leaf_depth,
 ):
-    """Shared tail of one simulation: expand node sim+1, backpropagate."""
-    B = tree.visit_count.shape[0]
+    """Shared tail of one simulation: expand node sim+1, backpropagate.
+
+    path_nodes[b, t] = node at depth t for t < leaf_depth (the new leaf
+    itself is NOT required to be recorded: its statistics live on the edge
+    (parent, action) = (path_nodes[leaf_depth-1], path_actions[leaf_depth-1])).
+    """
+    B = tree.children_index.shape[0]
     b_idx = jnp.arange(B)
     new_node = sim + 1
 
     # ---- Expansion: one batched recurrent inference ----------------------
-    parent_hidden = tree.hidden[b_idx, parent]
+    parent_hidden = hidden[parent, b_idx]  # post-flush store: see pipeline note
     value_logits, reward_logits, policy_logits, hidden_leaf = recurrent_fn(
         parent_hidden, action
     )
@@ -292,57 +377,86 @@ def _expand_and_backprop(
     prior_leaf = jax.nn.softmax(policy_logits, axis=-1)
 
     tree = tree._replace(
-        reward=tree.reward.at[:, new_node].set(leaf_reward),
-        to_play=tree.to_play.at[:, new_node].set(vt_leaf),
+        children_index=tree.children_index.at[b_idx, parent, action].set(
+            new_node
+        ),
+        children_reward=tree.children_reward.at[b_idx, parent, action].set(
+            leaf_reward
+        ),
         children_prior=tree.children_prior.at[:, new_node].set(prior_leaf),
-        children_index=tree.children_index.at[b_idx, parent, action].set(new_node),
-        hidden=tree.hidden.at[:, new_node].set(hidden_leaf),
     )
+    pending = (new_node, hidden_leaf)  # written at the NEXT sim's start
 
     # ---- Backpropagation (self_play.py:406-430) --------------------------
     if spec.use_pallas:
         from muzero_general_tpu.ops import mcts_pallas
 
-        visit, vsum, mn, mx = mcts_pallas.backprop(
-            path, leaf_depth, leaf_value, vt_leaf, tree.to_play, tree.reward,
-            tree.visit_count, tree.value_sum, tree.min_value, tree.max_value,
+        cvis, cvsum, rvis, rvsum, mn, mx = mcts_pallas.backprop(
+            path_nodes, path_actions, leaf_depth, leaf_value,
+            tree.children_visit, tree.children_vsum, tree.children_reward,
+            tree.root_visit, tree.root_vsum, tree.root_reward,
+            tree.min_value, tree.max_value,
             num_players=spec.num_players, discount=spec.discount,
             interpret=spec.pallas_interpret,
         )
         tree = tree._replace(
-            visit_count=visit, value_sum=vsum, min_value=mn, max_value=mx
+            children_visit=cvis, children_vsum=cvsum,
+            root_visit=rvis, root_vsum=rvsum, min_value=mn, max_value=mx,
         )
-        return tree, leaf_depth
+        return tree, hidden, pending, leaf_depth
 
     # Walk leaf -> root with a while_loop that exits once every lane has
     # passed its root: iterations = max real path length over the batch,
     # not the static worst case (typical tree depth ≪ num_simulations).
+    sign = 1.0 if spec.num_players == 1 else -1.0
+    # One reduction before the loop; scalar-only condition thereafter.
+    bp_bound = jnp.max(leaf_depth)
+
     def backprop_cond(carry):
         _, _, t_rev = carry
-        return jnp.any(leaf_depth - t_rev >= 0)
+        return t_rev <= bp_bound
 
     def backprop_body(carry):
         tree, value, t_rev = carry
         t = leaf_depth - t_rev  # per-batch depth index, walks leaf -> root
         valid = t >= 0
-        node = path[b_idx, jnp.maximum(t, 0)]
-
-        node_to_play = tree.to_play[b_idx, node]
-        same = node_to_play == vt_leaf
+        at_root = t == 0
+        # node_to_play == vt_leaf  ⟺  (t ≡ leaf_depth mod num_players)
+        # (virtual_to_play advances one player per edge, self_play.py:330-334)
         if spec.num_players == 1:
-            delta = value
+            same = jnp.ones((B,), bool)
         else:
-            delta = jnp.where(same, value, -value)
+            same = (t_rev % 2) == 0
+        delta = jnp.where(same, value, -value)
 
-        new_vsum = tree.value_sum.at[b_idx, node].add(
-            jnp.where(valid, delta, 0.0)
+        # The node's statistics are its incoming edge's; the root keeps
+        # explicit scalars (no incoming edge).
+        en = path_nodes[b_idx, jnp.maximum(t - 1, 0)]
+        ea = path_actions[b_idx, jnp.maximum(t - 1, 0)]
+        on_edge = valid & ~at_root
+        ev_old = tree.children_visit[b_idx, en, ea].astype(jnp.float32)
+        es_old = tree.children_vsum[b_idx, en, ea]
+        erew = tree.children_reward[b_idx, en, ea]
+
+        tree = tree._replace(
+            children_vsum=tree.children_vsum.at[b_idx, en, ea].add(
+                jnp.where(on_edge, delta, 0.0)
+            ),
+            children_visit=tree.children_visit.at[b_idx, en, ea].add(
+                on_edge.astype(jnp.int32)
+            ),
+            root_vsum=tree.root_vsum
+            + jnp.where(valid & at_root, delta, 0.0),
+            root_visit=tree.root_visit + (valid & at_root).astype(jnp.int32),
         )
-        new_visit = tree.visit_count.at[b_idx, node].add(valid.astype(jnp.int32))
-        tree = tree._replace(value_sum=new_vsum, visit_count=new_visit)
 
-        node_value = tree.node_value(b_idx, node)
-        sign = 1.0 if spec.num_players == 1 else -1.0
-        stat = tree.reward[b_idx, node] + spec.discount * sign * node_value
+        node_value = jnp.where(
+            at_root,
+            tree.root_vsum / jnp.maximum(tree.root_visit, 1).astype(jnp.float32),
+            (es_old + delta) / (ev_old + 1.0),
+        )
+        node_reward = jnp.where(at_root, tree.root_reward, erew)
+        stat = node_reward + spec.discount * sign * node_value
         tree = tree._replace(
             min_value=jnp.where(
                 valid, jnp.minimum(tree.min_value, stat), tree.min_value
@@ -353,10 +467,10 @@ def _expand_and_backprop(
         )
 
         if spec.num_players == 1:
-            value_next = tree.reward[b_idx, node] + spec.discount * value
+            value_next = node_reward + spec.discount * value
         else:
             value_next = (
-                jnp.where(same, -tree.reward[b_idx, node], tree.reward[b_idx, node])
+                jnp.where(same, -node_reward, node_reward)
                 + spec.discount * value
             )
         value = jnp.where(valid, value_next, value)
@@ -365,7 +479,7 @@ def _expand_and_backprop(
     tree, _, _ = jax.lax.while_loop(
         backprop_cond, backprop_body, (tree, leaf_value, jnp.int32(0))
     )
-    return tree, leaf_depth
+    return tree, hidden, pending, leaf_depth
 
 
 def run_mcts(
@@ -411,56 +525,59 @@ def run_mcts(
         frac = spec.exploration_fraction
         prior = jnp.where(legal_mask, prior * (1 - frac) + noise * frac, 0.0)
 
-    hidden_store = jnp.zeros((B, N) + hidden0.shape[1:], hidden0.dtype)
-    hidden_store = hidden_store.at[:, 0].set(hidden0)
-
-    tree = Tree(
-        visit_count=jnp.zeros((B, N), jnp.int32),
-        value_sum=jnp.zeros((B, N), jnp.float32),
-        reward=jnp.zeros((B, N), jnp.float32).at[:, 0].set(root_reward),
-        to_play=jnp.zeros((B, N), jnp.int32).at[:, 0].set(to_play),
-        children_index=jnp.full((B, N, A), -1, jnp.int32),
-        children_prior=jnp.zeros((B, N, A), jnp.float32).at[:, 0].set(prior),
-        hidden=hidden_store,
-        root_legal=legal_mask,
-        min_value=jnp.full((B,), jnp.inf),
-        max_value=jnp.full((B,), -jnp.inf),
-    )
+    tree = init_tree(N, prior, legal_mask, to_play, root_reward)
+    hidden = jnp.zeros((N,) + hidden0.shape, hidden0.dtype)
+    # The root row is the first pipelined write (flushed at sim 0's start).
+    pending0 = (jnp.int32(0), hidden0)
 
     def sim_body(carry, sim):
-        tree, max_depth = carry
+        tree, hidden, pending, max_depth = carry
         key = jax.random.fold_in(rng, sim + 1)
-        tree, leaf_depth = _simulate_once(
-            tree, sim, key, spec, recurrent_fn, to_play
+        # A descent can go at most one edge below the deepest existing node.
+        depth_bound = jnp.max(max_depth) + 1
+        tree, hidden, pending, leaf_depth = _simulate_once(
+            tree, hidden, pending, sim, key, spec, recurrent_fn, depth_bound
         )
         # max_tree_depth counts edges descended including the final edge to
         # the unexpanded child, matching reference current_tree_depth
         # (self_play.py:319-355).
         max_depth = jnp.maximum(max_depth, leaf_depth)
-        return (tree, max_depth), None
+        return (tree, hidden, pending, max_depth), None
 
-    (tree, max_depth), _ = jax.lax.scan(
+    (tree, hidden, pending, max_depth), _ = jax.lax.scan(
         sim_body,
-        (tree, jnp.zeros((B,), jnp.int32)),
+        (tree, hidden, pending0, jnp.zeros((B,), jnp.int32)),
         jnp.arange(spec.num_simulations),
     )
 
-    b_idx = jnp.arange(B)
-    root_children = tree.children_index[:, 0, :]  # [B, A]
-    exists = root_children >= 0
-    root_visits = jnp.where(
-        exists,
-        tree.visit_count[b_idx[:, None], jnp.maximum(root_children, 0)],
-        0,
-    )
-    root_value = tree.node_value(b_idx, jnp.zeros((B,), jnp.int32))
-
     return MCTSOutput(
-        root_visit_counts=root_visits,
-        root_value=root_value,
+        root_visit_counts=tree.children_visit[:, 0],
+        root_value=tree.root_value(),
         root_predicted_value=root_predicted_value,
         max_tree_depth=max_depth,
         tree=tree,
+        root_hidden=hidden0,
+    )
+
+
+def init_tree(N, root_prior, legal_mask, to_play, root_reward):
+    """Fresh Tree with the root (node 0) expanded (self_play.py:279-314)."""
+    B, A = legal_mask.shape
+    return Tree(
+        children_index=jnp.full((B, N, A), -1, jnp.int32),
+        children_prior=jnp.zeros((B, N, A), jnp.float32)
+        .at[:, 0]
+        .set(root_prior),
+        children_visit=jnp.zeros((B, N, A), jnp.int32),
+        children_vsum=jnp.zeros((B, N, A), jnp.float32),
+        children_reward=jnp.zeros((B, N, A), jnp.float32),
+        root_legal=legal_mask,
+        root_visit=jnp.zeros((B,), jnp.int32),
+        root_vsum=jnp.zeros((B,), jnp.float32),
+        root_reward=root_reward,
+        root_to_play=jnp.asarray(to_play, jnp.int32),
+        min_value=jnp.full((B,), jnp.inf),
+        max_value=jnp.full((B,), -jnp.inf),
     )
 
 

@@ -43,14 +43,23 @@ from muzero_general_tpu.ops.support import support_to_scalar
 
 TIE_JITTER = 1e-5
 
-# All in-kernel dots run at HIGHEST precision: the MXU's default f32 mode is
-# bf16 passes, which (a) makes the 0/1 selection matmuls truncate the data
-# operand (priors/hidden states lose ~8 mantissa bits — observed on-chip as
-# 64% visit-count divergence from the XLA oracle) and (b) drifts the FC net
-# outputs from the f32 reference semantics. HIGHEST = 6-pass bf16x3, exact
-# for selections and f32-accurate for the tiny network matmuls; the kernel
-# is sequencing-bound so the extra passes are free.
+# The 0/1 SELECTION matmuls always run at HIGHEST precision: the MXU's
+# default f32 mode is bf16 passes, which truncates the data operand
+# (priors/hidden states lose ~8 mantissa bits — observed on-chip as 64%
+# visit-count divergence from the XLA oracle). HIGHEST = 6-pass bf16x3,
+# exact for products against exact 1.0, so these gathers are bit-exact f32.
 EXACT = jax.lax.Precision.HIGHEST
+# The NETWORK matmuls (the FC triplet inside the kernel) default to HIGHEST
+# too (f32-accurate, matches the XLA oracle to ELU-ULP) but are a knob —
+# config.fused_net_precision / FusedSpec.net_precision — because the extra
+# passes are the likely cost of the round-2 headline regression
+# (BENCH_r01 60,682 -> r02 53,794 env-steps/s; VERDICT r2 weak #2).
+# (Mosaic lowers only DEFAULT and HIGHEST dot precisions; there is no
+# 3-pass middle tier in-kernel.)
+NET_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}
 _EPS = 0.001  # support codec epsilon (reference models.py:661,675)
 
 
@@ -68,11 +77,18 @@ class FusedSpec(NamedTuple):
     encoding_size: int
     tie_jitter: float = TIE_JITTER
     interpret: bool = False
+    net_precision: str = "highest"
 
     @classmethod
     def from_config(cls, config, deterministic_tie_break=False, interpret=False):
         if len(config.players) > 2:
             raise NotImplementedError("More than two player mode not implemented.")
+        net_precision = str(getattr(config, "fused_net_precision", "highest"))
+        if net_precision not in NET_PRECISIONS:
+            raise ValueError(
+                f"fused_net_precision must be one of {sorted(NET_PRECISIONS)}, "
+                f"got {net_precision!r}"
+            )
         return cls(
             num_simulations=config.num_simulations,
             num_players=len(config.players),
@@ -89,6 +105,7 @@ class FusedSpec(NamedTuple):
                 0.0 if (deterministic_tie_break or interpret) else TIE_JITTER
             ),
             interpret=interpret,
+            net_precision=net_precision,
         )
 
 
@@ -239,7 +256,9 @@ def _search_kernel(
     layer_counts,  # (n_dyn_rest, n_reward, n_policy, n_value)
     tie_jitter: float,
     use_expm1: bool,
+    net_precision: str,
 ):
+    NETP = NET_PRECISIONS[net_precision]  # network dots only; selections EXACT
     n_dyn_rest, n_rew, n_pol, n_val = layer_counts
     n_w = 3 + 2 * (n_dyn_rest + n_rew + n_pol + n_val)
     wrefs = rest[:n_w]
@@ -323,7 +342,7 @@ def _search_kernel(
     def mlp(x, layers):
         nl = len(layers)
         for i, (w, b) in enumerate(layers):
-            x = jnp.dot(x, w, preferred_element_type=jnp.float32, precision=EXACT) + b
+            x = jnp.dot(x, w, preferred_element_type=jnp.float32, precision=NETP) + b
             if i < nl - 1:
                 x = elu(x)
         return x
@@ -349,7 +368,7 @@ def _search_kernel(
 
     def sim_body(sim, carry):
         (visit, vsum, reward, to_play, child_index, child_prior, hidden,
-         mn, mx, maxd) = carry
+         mn, mx, maxd, bnd) = carry
         new_node = sim + 1
         visit_f = visit.astype(jnp.float32)
         child_index_f = child_index.astype(jnp.float32)
@@ -414,7 +433,11 @@ def _search_kernel(
 
         def d_cond(state):
             _, _, active, _, _, _, t = state
-            return jnp.logical_and(jnp.any(active == 1), t < D - 1)
+            # Scalar-only condition: a descent takes at most bnd + 1
+            # selections (bnd = deepest leaf so far, carried as a scalar);
+            # while(any(active)) would sync the scalar unit on the vector
+            # pipeline at EVERY tree level of EVERY simulation.
+            return jnp.logical_and(t <= bnd, t < D - 1)
 
         col0 = jnp.zeros((B, 1), jnp.int32)
         one0 = jnp.ones((B, 1), jnp.int32)
@@ -433,8 +456,8 @@ def _search_kernel(
         )  # [B, E]
         onehot = (iota_A == action).astype(jnp.float32)  # [B, A]
         x = (
-            jnp.dot(h_par, w_dyn_h, preferred_element_type=jnp.float32, precision=EXACT)
-            + jnp.dot(onehot, w_dyn_a, preferred_element_type=jnp.float32, precision=EXACT)
+            jnp.dot(h_par, w_dyn_h, preferred_element_type=jnp.float32, precision=NETP)
+            + jnp.dot(onehot, w_dyn_a, preferred_element_type=jnp.float32, precision=NETP)
             + b_dyn0
         )
         if n_dyn_rest > 0:
@@ -506,23 +529,27 @@ def _search_kernel(
             value = jnp.where(valid, vnext, value)
             return visit, vsum, mn, mx, value, t_rev + 1
 
+        # One vector->scalar reduction per simulation (not per level).
+        bp_bound = jnp.max(leaf_depth)
+
         def b_cond(state):
             *_, t_rev = state
-            return jnp.any(leaf_depth - t_rev >= 0)
+            return t_rev <= bp_bound
 
         visit, vsum, mn, mx, _, _ = jax.lax.while_loop(
             b_cond, b_body, (visit, vsum, mn, mx, leaf_value, jnp.int32(0))
         )
         maxd = jnp.maximum(maxd, leaf_depth)
+        bnd = jnp.maximum(bnd, bp_bound)
         return (visit, vsum, reward, to_play, child_index, child_prior,
-                hidden, mn, mx, maxd)
+                hidden, mn, mx, maxd, bnd)
 
     carry0 = (
         visit_ref[:], vsum_ref[:], reward_ref[:], to_play_ref[:],
         child_index_ref[:], child_prior_ref[:], hidden_ref[:],
-        mn_ref[:], mx_ref[:], jnp.zeros((B, 1), jnp.int32),
+        mn_ref[:], mx_ref[:], jnp.zeros((B, 1), jnp.int32), jnp.int32(0),
     )
-    (visit, vsum, _, _, child_index, _, _, _, _, maxd) = jax.lax.fori_loop(
+    (visit, vsum, _, _, child_index, _, _, _, _, maxd, _) = jax.lax.fori_loop(
         0, num_sims, sim_body, carry0
     )
 
@@ -548,6 +575,7 @@ def _search_kernel(
     static_argnames=(
         "num_sims", "num_players", "pb_c_base", "pb_c_init", "discount",
         "A", "E", "support_size", "layer_counts", "tie_jitter", "interpret",
+        "net_precision",
     ),
 )
 def _search(
@@ -555,6 +583,7 @@ def _search(
     root_legal, mn, mx, weights_flat, *,
     num_sims, num_players, pb_c_base, pb_c_init, discount, A, E,
     support_size, layer_counts, tie_jitter, interpret,
+    net_precision="highest",
 ):
     """Launch the fused kernel, grid over lane blocks (VMEM pipelining)."""
     B, N = visit.shape
@@ -573,6 +602,7 @@ def _search(
         pb_c_init=pb_c_init, discount=discount, A=A, E=E,
         support_size=support_size, layer_counts=layer_counts,
         tie_jitter=tie_jitter, use_expm1=interpret,
+        net_precision=net_precision,
     )
 
     def bspec(cols):
@@ -672,7 +702,7 @@ def run_mcts_fused(
         pb_c_base=spec.pb_c_base, pb_c_init=spec.pb_c_init,
         discount=spec.discount, A=A, E=E, support_size=spec.support_size,
         layer_counts=layer_counts, tie_jitter=spec.tie_jitter,
-        interpret=spec.interpret,
+        interpret=spec.interpret, net_precision=spec.net_precision,
     )
     return FusedOutput(
         root_visit_counts=visits,

@@ -6,8 +6,14 @@ kernels run the whole descent (root -> unexpanded edge) and the whole
 backpropagation as ONE kernel launch each, with the tree arrays resident in
 VMEM and the loop iterations costing VPU vector ops only.
 
-Scope: tree sizes that fit VMEM — B*(N*(3+2A)+A) * 4 bytes ≲ a few MB
-(true for all FC-net games; big-board games keep the XLA path). Semantics
+Round 3: the kernels work on the EDGE-ARRAY tree (ops/mcts.py Tree — stats
+on [B, N*A] edge slabs, to_play by depth parity, root scalars). Per descent
+level this is 4 masked-matmul edge-row extractions and one flat gather,
+replacing the old 2 extractions + 3*A per-action mask-reductions; the
+backprop level is 3 flat gathers + 2 flat scatters and no to_play lookup.
+
+Scope: tree sizes that fit VMEM (per-lane working set ~5 edge slabs of
+N*A f32). Big-board games (gomoku: N*A ≈ 49k) keep the XLA path. Semantics
 match ops/mcts.py except tie-breaking: a tiny uniform jitter on the pUCT
 scores replaces the categorical draw among exact ties — argmax over iid
 jitter on equal scores is still a uniform choice among them
@@ -42,19 +48,20 @@ EXACT = jax.lax.Precision.HIGHEST
 
 
 def _descend_kernel(
-    seed_ref,  # [1] int32 (SMEM)
-    visit_ref,  # [B, N] i32
-    value_sum_ref,  # [B, N] f32
-    reward_ref,  # [B, N] f32
-    child_index_ref,  # [B, N*A] i32
-    child_prior_ref,  # [B, N*A] f32
+    seed_ref,  # [2] int32 (SMEM): (PRNG seed, depth bound)
+    e_child_ref,  # [B, N*A] i32
+    e_prior_ref,  # [B, N*A] f32
+    e_visit_ref,  # [B, N*A] i32
+    e_vsum_ref,  # [B, N*A] f32
+    e_reward_ref,  # [B, N*A] f32
     root_legal_ref,  # [B, A] bool->i32
     min_ref,  # [B, 1] f32
     max_ref,  # [B, 1] f32
     parent_ref,  # out [B, 1] i32
     action_ref,  # out [B, 1] i32
     depth_ref,  # out [B, 1] i32  (edges to the new leaf)
-    path_ref,  # out [B, D] i32  (path node at depth t; -1 padded)
+    path_n_ref,  # out [B, D] i32  (node at depth t; -1 padded)
+    path_a_ref,  # out [B, D] i32  (action taken from depth t; 0 padded)
     *,
     num_players: int,
     pb_c_base: float,
@@ -64,15 +71,22 @@ def _descend_kernel(
     max_depth: int,
     tie_jitter: float,
 ):
-    B = visit_ref.shape[0]
+    B = e_child_ref.shape[0]
     if tie_jitter > 0:  # PRNG only on the real TPU path (no interpret impl)
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # Loop trip count: the tree after s simulations is at most
+    # (max leaf depth so far) deep, so the next descent takes at most
+    # bound = maxd + 1 selections (run_mcts threads it in). A scalar-only
+    # loop condition avoids the vector->scalar sync per tree level that a
+    # while(any(active)) costs — the dominant overhead of the round-2 kernel
+    # (~30 ms per descend on a deep connect4 tree).
+    bound = jnp.minimum(seed_ref[1], max_depth - 1)
 
-    visit = visit_ref[:]
-    value_sum = value_sum_ref[:]
-    reward = reward_ref[:]
-    child_index = child_index_ref[:]  # [B, N*A]
-    child_prior = child_prior_ref[:]
+    e_child = e_child_ref[:]  # [B, NA]
+    e_prior = e_prior_ref[:]
+    e_visit_f = e_visit_ref[:].astype(jnp.float32)
+    e_vsum = e_vsum_ref[:]
+    e_reward = e_reward_ref[:]
     legal = root_legal_ref[:] != 0  # [B, A]
     mn = min_ref[:]  # [B, 1]
     mx = max_ref[:]
@@ -80,14 +94,15 @@ def _descend_kernel(
     inv_span = 1.0 / jnp.maximum(mx - mn, 1e-30)
 
     sign = 1.0 if num_players == 1 else -1.0
-    D = path_ref.shape[1]
-    N = visit.shape[1]
-    NA = N * A
+    D = path_n_ref.shape[1]
+    NA = e_child.shape[1]
 
-    # Mosaic has no narrow gathers: per-row indexing is done with
+    # Mosaic has no narrow gathers: flat [B, NA] entries are picked with
     # iota-mask reductions, and "the A edges of node n" with a one-hot
     # masked matmul against a static [N*A, A] selection matrix.
     iota_NA = jax.lax.broadcasted_iota(jnp.int32, (B, NA), 1)
+    iota_A = jax.lax.broadcasted_iota(jnp.int32, (B, A), 1)
+    iota_D = jax.lax.broadcasted_iota(jnp.int32, (B, D), 1)
     sel_matrix = (
         jax.lax.broadcasted_iota(jnp.int32, (NA, A), 0) % A
         == jax.lax.broadcasted_iota(jnp.int32, (NA, A), 1)
@@ -104,47 +119,37 @@ def _descend_kernel(
             jnp.where(mask, arr, jnp.zeros_like(arr)), axis=1, keepdims=True
         )
 
-    def take_edges(arr_f32, node_col):
-        """arr [B, N*A] f32 -> [B, A]: the A edge entries of `node`."""
-        mask = (iota_NA // A) == node_col
-        return jnp.dot(
-            jnp.where(mask, arr_f32, 0.0),
-            sel_matrix,
-            preferred_element_type=jnp.float32,
-            precision=EXACT,
-        )
-
-    visit_f = visit.astype(jnp.float32)
-
     def body(state):
-        current, depth, active, parent, action, path, t = state
-        idx = take_edges(child_index.astype(jnp.float32), current)  # [B, A]
-        exists = idx >= 0
-        # Per-edge child stats, one mask-reduce per action slot (A is small
-        # for VMEM-eligible games; big-A games use the XLA path).
-        idx_cols = [
-            jnp.maximum(idx[:, a : a + 1].astype(jnp.int32), 0)
-            for a in range(A)
-        ]
-        cvis = jnp.concatenate(
-            [row_gather(visit_f, c) for c in idx_cols], axis=1
-        )
-        cvsum = jnp.concatenate(
-            [row_gather(value_sum, c) for c in idx_cols], axis=1
-        )
-        crew = jnp.concatenate(
-            [row_gather(reward, c) for c in idx_cols], axis=1
-        )
-        cvis = jnp.where(exists, cvis, 0.0)
-        cvsum = jnp.where(exists, cvsum, 0.0)
-        crew = jnp.where(exists, crew, 0.0)
-        cval = jnp.where(cvis > 0, cvsum / jnp.maximum(cvis, 1.0), 0.0)
+        current, depth, active, parent, action, path_n, path_a, t = state
+        # The A edge rows of `current`, all via one shared window mask.
+        # Range compare, NOT division: // by a non-power-of-2 A expands to a
+        # multi-op sequence per element on the VPU.
+        base = current * A
+        window = (iota_NA >= base) & (iota_NA < base + A)
 
-        pvis = row_gather(visit_f, current)  # [B, 1]
+        def take(arr_f32):
+            return jnp.dot(
+                jnp.where(window, arr_f32, 0.0),
+                sel_matrix,
+                preferred_element_type=jnp.float32,
+                precision=EXACT,
+            )
+
+        cvis = take(e_visit_f)  # [B, A]
+        cvsum = take(e_vsum)
+        crew = take(e_reward)
+        cprior = take(e_prior)
+        cval = jnp.where(cvis > 0, cvsum / jnp.maximum(cvis, 1.0), 0.0)
+        # visit(node) = 1 + sum of its edge visits (root: 0 +) — see
+        # ops/mcts.py parent_visit_from_edges.
+        pvis = jnp.sum(cvis, axis=1, keepdims=True) + jnp.where(
+            current != 0, 1.0, 0.0
+        )
+
         pb_c = (
             jnp.log((pvis + pb_c_base + 1.0) / pb_c_base) + pb_c_init
         ) * jnp.sqrt(pvis) / (cvis + 1.0)
-        prior_score = pb_c * take_edges(child_prior, current)
+        prior_score = pb_c * cprior
         q = crew + discount * sign * cval
         qn = jnp.where(span_ok, (q - mn) * inv_span, q)
         score = prior_score + jnp.where(cvis > 0, qn, 0.0)
@@ -160,68 +165,75 @@ def _descend_kernel(
         # the oracle at every exact tie — e.g. all root actions at sim 0,
         # where parent_visit=0 zeroes every pUCT score.
         m = jnp.max(score, axis=1, keepdims=True)
-        iota_a = jax.lax.broadcasted_iota(jnp.int32, (B, A), 1)
-        sel = jnp.min(jnp.where(score >= m, iota_a, A), axis=1, keepdims=True)
+        sel = jnp.min(jnp.where(score >= m, iota_A, A), axis=1, keepdims=True)
 
-        child = row_gather(child_index, current * A + sel)
+        # Active lanes all sit at depth t: record the action taken from it.
+        path_a = jnp.where((iota_D == t) & (active == 1), sel, path_a)
+
+        child = row_gather(e_child, current * A + sel)
         hits = active * (child < 0).astype(jnp.int32)
         parent = jnp.where(hits == 1, current, parent)
         action = jnp.where(hits == 1, sel, action)
         active = active * (child >= 0).astype(jnp.int32)
         current = jnp.where(active == 1, child, current)
         depth = depth + active
-        # record path[:, t+1] = current for still-active rows
-        col = jax.lax.broadcasted_iota(jnp.int32, (B, D), 1) == (t + 1)
-        path = jnp.where(col & (active == 1), current, path)
-        return current, depth, active, parent, action, path, t + 1
+        # Still-active lanes moved to depth t+1: record the node there.
+        path_n = jnp.where((iota_D == (t + 1)) & (active == 1), current, path_n)
+        return current, depth, active, parent, action, path_n, path_a, t + 1
 
     def cond(state):
-        _, _, active, _, _, _, t = state
-        return jnp.logical_and(jnp.any(active == 1), t < max_depth - 1)
+        *_rest, t = state
+        return t < bound  # scalar-only condition; lanes self-mask via active
 
     col0 = jnp.zeros((B, 1), jnp.int32)
     one0 = jnp.ones((B, 1), jnp.int32)
-    path0 = jnp.full((B, D), -1, jnp.int32)
-    path0 = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (B, D), 1) == 0, 0, path0
-    )
-    _, depth, _, parent, action, path, _ = jax.lax.while_loop(
+    path_n0 = jnp.where(iota_D == 0, 0, jnp.full((B, D), -1, jnp.int32))
+    path_a0 = jnp.zeros((B, D), jnp.int32)
+    _, depth, _, parent, action, path_n, path_a, _ = jax.lax.while_loop(
         cond,
         body,
-        (col0, col0, one0, col0, col0, path0, jnp.int32(0)),
+        (col0, col0, one0, col0, col0, path_n0, path_a0, jnp.int32(0)),
     )
     parent_ref[:] = parent
     action_ref[:] = action
     depth_ref[:] = depth + 1  # leaf sits one edge below
-    path_ref[:] = path
+    path_n_ref[:] = path_n
+    path_a_ref[:] = path_a
 
 
 def _backprop_kernel(
-    path_ref,  # [B, D] i32
+    bound_ref,  # [1] i32 (SMEM): max leaf depth over the whole batch
+    path_n_ref,  # [B, D] i32
+    path_a_ref,  # [B, D] i32
     leaf_depth_ref,  # [B, 1] i32
     leaf_value_ref,  # [B, 1] f32
-    vt_leaf_ref,  # [B, 1] i32
-    to_play_ref,  # [B, N] i32
-    reward_ref,  # [B, N] f32
-    visit_in_ref,  # [B, N] i32  (aliased -> visit_out)
-    vsum_in_ref,  # [B, N] f32  (aliased -> vsum_out)
+    e_reward_ref,  # [B, N*A] f32
+    root_reward_ref,  # [B, 1] f32
+    e_visit_in_ref,  # [B, N*A] i32  (aliased -> e_visit_out)
+    e_vsum_in_ref,  # [B, N*A] f32  (aliased -> e_vsum_out)
+    root_visit_in_ref,  # [B, 1] i32  (aliased)
+    root_vsum_in_ref,  # [B, 1] f32  (aliased)
     min_in_ref,  # [B, 1] f32  (aliased)
     max_in_ref,  # [B, 1] f32  (aliased)
-    visit_out_ref,
-    vsum_out_ref,
+    e_visit_out_ref,
+    e_vsum_out_ref,
+    root_visit_out_ref,
+    root_vsum_out_ref,
     min_out_ref,
     max_out_ref,
     *,
     num_players: int,
     discount: float,
+    A: int,
 ):
-    B, N = visit_in_ref.shape
-    path = path_ref[:]
+    B, NA = e_visit_in_ref.shape
+    path_n = path_n_ref[:]
+    path_a = path_a_ref[:]
     leaf_depth = leaf_depth_ref[:]  # [B, 1]
-    vt_leaf = vt_leaf_ref[:]  # [B, 1]
-    to_play = to_play_ref[:]
-    reward = reward_ref[:]
+    e_reward = e_reward_ref[:]
+    root_reward = root_reward_ref[:]
     sign = 1.0 if num_players == 1 else -1.0
+    iota_NA = jax.lax.broadcasted_iota(jnp.int32, (B, NA), 1)
 
     def row_gather(arr, idx_col):
         mask = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1) == idx_col
@@ -230,25 +242,46 @@ def _backprop_kernel(
         )
 
     def body(state):
-        visit, vsum, mn, mx, value, t_rev = state
+        e_visit, e_vsum, rvis, rvsum, mn, mx, value, t_rev = state
         t = leaf_depth - t_rev  # [B, 1]
-        valid = t >= 0  # [B, 1]
-        node = row_gather(path, jnp.maximum(t, 0))  # [B, 1]
-        node_oh = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1) == node
-        ntp = row_gather(to_play, node)
-        nrew = row_gather(reward, node)
-        same = ntp == vt_leaf
+        valid = t >= 0
+        at_root = valid & (t == 0)
+        on_edge = valid & (t >= 1)
+        # node_to_play == vt_leaf ⟺ t ≡ leaf_depth (mod players); t_rev is
+        # shared by every lane, so the sign is a scalar (ops/mcts.py
+        # backprop_body) — the reference's per-node to_play comparison
+        # (self_play.py:406-430) reduced to depth parity.
         if num_players == 1:
-            delta = value
+            sgn = 1.0
         else:
-            delta = jnp.where(same, value, -value)
+            sgn = (1 - 2 * jnp.bitwise_and(t_rev, 1)).astype(jnp.float32)
+        delta = value * sgn  # [B, 1]
 
-        vsum = vsum + jnp.where(node_oh & valid, delta, 0.0)
-        visit = visit + (node_oh & valid).astype(jnp.int32)
+        # The node's stats are its incoming edge's:
+        # (path_n[t-1], path_a[t-1]); the root keeps explicit scalars.
+        en = row_gather(path_n, jnp.maximum(t - 1, 0))
+        ea = row_gather(path_a, jnp.maximum(t - 1, 0))
+        eidx = en * A + ea
+        gmask = iota_NA == eidx
+        ev_old = jnp.sum(
+            jnp.where(gmask, e_visit.astype(jnp.float32), 0.0),
+            axis=1, keepdims=True,
+        )
+        es_old = jnp.sum(jnp.where(gmask, e_vsum, 0.0), axis=1, keepdims=True)
+        erew = jnp.sum(jnp.where(gmask, e_reward, 0.0), axis=1, keepdims=True)
 
-        nvis = row_gather(visit, node).astype(jnp.float32)
-        nvsum = row_gather(vsum, node)
-        nval = jnp.where(nvis > 0, nvsum / jnp.maximum(nvis, 1.0), 0.0)
+        emask = gmask & on_edge
+        e_vsum = e_vsum + jnp.where(emask, delta, 0.0)
+        e_visit = e_visit + emask.astype(jnp.int32)
+        rvsum = rvsum + jnp.where(at_root, delta, 0.0)
+        rvis = rvis + at_root.astype(jnp.int32)
+
+        nval = jnp.where(
+            at_root,
+            rvsum / jnp.maximum(rvis, 1).astype(jnp.float32),
+            (es_old + delta) / (ev_old + 1.0),
+        )
+        nrew = jnp.where(at_root, root_reward, erew)
         stat = nrew + discount * sign * nval
         mn = jnp.where(valid, jnp.minimum(mn, stat), mn)
         mx = jnp.where(valid, jnp.maximum(mx, stat), mx)
@@ -256,28 +289,38 @@ def _backprop_kernel(
         if num_players == 1:
             vnext = nrew + discount * value
         else:
-            vnext = jnp.where(same, -nrew, nrew) + discount * value
+            # where(same, -nrew, nrew) == -sgn * nrew
+            vnext = -sgn * nrew + discount * value
         value = jnp.where(valid, vnext, value)
-        return visit, vsum, mn, mx, value, t_rev + 1
+        return e_visit, e_vsum, rvis, rvsum, mn, mx, value, t_rev + 1
+
+    # Scalar-only loop condition (XLA computes max(leaf_depth) once and
+    # passes it in SMEM): while(any(...)) would sync the scalar unit on the
+    # vector pipeline at every level — see the descend kernel's bound note.
+    bound = bound_ref[0]
 
     def cond(state):
         *_, t_rev = state
-        return jnp.any(leaf_depth - t_rev >= 0)
+        return t_rev <= bound
 
-    visit, vsum, mn, mx, _, _ = jax.lax.while_loop(
+    e_visit, e_vsum, rvis, rvsum, mn, mx, _, _ = jax.lax.while_loop(
         cond,
         body,
         (
-            visit_in_ref[:],
-            vsum_in_ref[:],
+            e_visit_in_ref[:],
+            e_vsum_in_ref[:],
+            root_visit_in_ref[:],
+            root_vsum_in_ref[:],
             min_in_ref[:],
             max_in_ref[:],
             leaf_value_ref[:],
             jnp.int32(0),
         ),
     )
-    visit_out_ref[:] = visit
-    vsum_out_ref[:] = vsum
+    e_visit_out_ref[:] = e_visit
+    e_vsum_out_ref[:] = e_vsum
+    root_visit_out_ref[:] = rvis
+    root_vsum_out_ref[:] = rvsum
     min_out_ref[:] = mn
     max_out_ref[:] = mx
 
@@ -286,15 +329,22 @@ def fits_vmem(B, N, A, budget_bytes=8 * 1024 * 1024):
     """Conservative VMEM budget check for the fused kernels.
 
     Counts lane-padded (multiples of 128) array footprints and a 2x factor
-    for while-loop carry double-buffering; calibrated against the observed
-    limit (B=1024, N=51, A=2 fits in 16MB VMEM; B=2048 does not).
+    for while-loop carry double-buffering, plus the block-size-independent
+    [N*A, A] selection matrix; calibrated with the same methodology as round
+    1 (observed: B=1024, N=51, A=2 fits in 16MB VMEM; B=2048 does not).
+    The descend kernel is the high-water mark: 5 edge slabs + legal + 2
+    paths + small columns.
     """
 
     def pad(x):
         return -(-x // 128) * 128
 
-    tree_bytes = B * 4 * (pad(N) * 3 + pad(N * A) * 2 + pad(A) + pad(N + 1))
-    return 2 * tree_bytes < budget_bytes
+    def pad8(x):
+        return -(-x // 8) * 8
+
+    per = B * 4 * (pad(N * A) * 5 + pad(A) + pad(N + 1) * 2 + 8 * pad(1))
+    fixed = 4 * pad8(N * A) * pad(A)  # selection matrix
+    return 2 * per + fixed < budget_bytes
 
 
 def choose_block(B, N, A):
@@ -314,13 +364,18 @@ def choose_block(B, N, A):
     static_argnames=("num_players", "pb_c_base", "pb_c_init", "discount",
                      "A", "max_depth", "tie_jitter", "interpret"),
 )
-def descend(seed, visit, value_sum, reward, children_index, children_prior,
-            root_legal, min_value, max_value, *, num_players, pb_c_base,
-            pb_c_init, discount, A, max_depth, tie_jitter=TIE_JITTER,
-            interpret=False):
+def descend(seed, depth_bound, children_index, children_prior, children_visit,
+            children_vsum, children_reward, root_legal, min_value, max_value,
+            *, num_players, pb_c_base, pb_c_init, discount, A, max_depth,
+            tie_jitter=TIE_JITTER, interpret=False):
     """Fused descent. Returns (parent [B], action [B], leaf_depth [B],
-    path [B, max_depth+1])."""
-    B, N = visit.shape
+    path_nodes [B, max_depth+1], path_actions [B, max_depth+1]).
+
+    depth_bound: scalar i32 >= the deepest possible descent (max leaf depth
+    of all previous simulations + 1); the kernel loops exactly that many
+    levels with inactive lanes masked, avoiding a per-level vector sync.
+    """
+    B, N = children_index.shape[:2]
     D = max_depth + 1
     # Grid over lane blocks: each program handles `block` trees in VMEM, so
     # total batch size is unbounded by the 16MB VMEM (blocks pipeline).
@@ -337,7 +392,7 @@ def descend(seed, visit, value_sum, reward, children_index, children_prior,
             (block, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
 
-    parent, action, depth, path = pl.pallas_call(
+    parent, action, depth, path_n, path_a = pl.pallas_call(
         kernel,
         grid=(grid,),
         out_shape=(
@@ -345,47 +400,51 @@ def descend(seed, visit, value_sum, reward, children_index, children_prior,
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, D), jnp.int32),
+            jax.ShapeDtypeStruct((B, D), jnp.int32),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            bspec(N),
-            bspec(N),
-            bspec(N),
+            bspec(N * A),
+            bspec(N * A),
+            bspec(N * A),
             bspec(N * A),
             bspec(N * A),
             bspec(A),
             bspec(1),
             bspec(1),
         ],
-        out_specs=(bspec(1), bspec(1), bspec(1), bspec(D)),
+        out_specs=(bspec(1), bspec(1), bspec(1), bspec(D), bspec(D)),
         interpret=interpret,
     )(
-        jnp.asarray([seed], jnp.int32),
-        visit,
-        value_sum,
-        reward,
+        jnp.stack([jnp.asarray(seed, jnp.int32),
+                   jnp.asarray(depth_bound, jnp.int32)]),
         children_index.reshape(B, -1),
         children_prior.reshape(B, -1),
+        children_visit.reshape(B, -1),
+        children_vsum.reshape(B, -1),
+        children_reward.reshape(B, -1),
         root_legal.astype(jnp.int32),
         min_value[:, None],
         max_value[:, None],
     )
-    return parent[:, 0], action[:, 0], depth[:, 0], path
+    return parent[:, 0], action[:, 0], depth[:, 0], path_n, path_a
 
 
 @functools.partial(
     jax.jit, static_argnames=("num_players", "discount", "interpret")
 )
-def backprop(path, leaf_depth, leaf_value, vt_leaf, to_play, reward, visit,
-             value_sum, min_value, max_value, *, num_players, discount,
-             interpret=False):
-    """Fused backprop. Returns updated (visit, value_sum, min, max)."""
-    B, N = visit.shape
-    D = path.shape[1]
-    block = choose_block(B, N, 1) or B
+def backprop(path_nodes, path_actions, leaf_depth, leaf_value,
+             children_visit, children_vsum, children_reward,
+             root_visit, root_vsum, root_reward, min_value, max_value, *,
+             num_players, discount, interpret=False):
+    """Fused backprop. Returns updated (children_visit, children_vsum,
+    root_visit, root_vsum, min, max)."""
+    B, N, A = children_visit.shape
+    D = path_nodes.shape[1]
+    block = choose_block(B, N, A) or B
     grid = B // block
     kernel = functools.partial(
-        _backprop_kernel, num_players=num_players, discount=discount
+        _backprop_kernel, num_players=num_players, discount=discount, A=A
     )
 
     def bspec(cols):
@@ -393,32 +452,49 @@ def backprop(path, leaf_depth, leaf_value, vt_leaf, to_play, reward, visit,
             (block, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
 
-    visit2, vsum2, mn2, mx2 = pl.pallas_call(
+    evis2, evsum2, rvis2, rvsum2, mn2, mx2 = pl.pallas_call(
         kernel,
         grid=(grid,),
         out_shape=(
-            jax.ShapeDtypeStruct((B, N), jnp.int32),
-            jax.ShapeDtypeStruct((B, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, N * A), jnp.int32),
+            jax.ShapeDtypeStruct((B, N * A), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
         ),
         in_specs=[
-            bspec(D), bspec(1), bspec(1), bspec(1), bspec(N), bspec(N),
-            bspec(N), bspec(N), bspec(1), bspec(1),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            bspec(D), bspec(D), bspec(1), bspec(1), bspec(N * A), bspec(1),
+            bspec(N * A), bspec(N * A), bspec(1), bspec(1), bspec(1),
+            bspec(1),
         ],
-        out_specs=(bspec(N), bspec(N), bspec(1), bspec(1)),
-        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
+        out_specs=(
+            bspec(N * A), bspec(N * A), bspec(1), bspec(1), bspec(1),
+            bspec(1),
+        ),
+        input_output_aliases={7: 0, 8: 1, 9: 2, 10: 3, 11: 4, 12: 5},
         interpret=interpret,
     )(
-        path,
+        jnp.max(leaf_depth)[None],
+        path_nodes,
+        path_actions,
         leaf_depth[:, None],
         leaf_value[:, None],
-        vt_leaf[:, None],
-        to_play,
-        reward,
-        visit,
-        value_sum,
+        children_reward.reshape(B, -1),
+        root_reward[:, None],
+        children_visit.reshape(B, -1),
+        children_vsum.reshape(B, -1),
+        root_visit[:, None],
+        root_vsum[:, None],
         min_value[:, None],
         max_value[:, None],
     )
-    return visit2, vsum2, mn2[:, 0], mx2[:, 0]
+    return (
+        evis2.reshape(B, N, A),
+        evsum2.reshape(B, N, A),
+        rvis2[:, 0],
+        rvsum2[:, 0],
+        mn2[:, 0],
+        mx2[:, 0],
+    )

@@ -154,7 +154,7 @@ def test_policy_improvement_on_root_q():
     )
     tree = out.tree
     root0 = jnp.zeros((32,), jnp.int32)
-    visits, q = G._children_q(tree, root0, spec)
+    visits, q, _ = G._children_q(tree, root0, spec)
     visits, q = np.asarray(visits), np.asarray(q)
     prior = np.asarray(tree.children_prior[:, 0])
     pol = np.asarray(out.improved_policy)

@@ -108,7 +108,12 @@ def test_pallas_invariants_with_jitter():
 
 
 def test_fits_vmem():
-    from muzero_general_tpu.ops.mcts_pallas import fits_vmem
+    from muzero_general_tpu.ops.mcts_pallas import choose_block, fits_vmem
 
-    assert fits_vmem(1024, 51, 2)  # cartpole-scale
-    assert not fits_vmem(1024, 401, 121)  # gomoku-scale
+    # cartpole-scale: the kernels engage (possibly gridded over lane blocks)
+    assert choose_block(1024, 51, 2) >= 256
+    # connect4-scale: engages with a meaningful block
+    assert choose_block(256, 201, 7) >= 32
+    # gomoku-scale: the edge slabs (N*A ≈ 49k) can never fit — XLA path
+    assert not fits_vmem(8, 401, 121)
+    assert choose_block(256, 401, 121) is None

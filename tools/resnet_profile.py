@@ -221,9 +221,9 @@ def main():
 
         def desc(seed):
             return mcts_pallas.descend(
-                seed, tree.visit_count, tree.value_sum, tree.reward,
-                tree.children_index, tree.children_prior, tree.root_legal,
-                tree.min_value, tree.max_value,
+                seed, 64, tree.children_index, tree.children_prior,
+                tree.children_visit, tree.children_vsum, tree.children_reward,
+                tree.root_legal, tree.min_value, tree.max_value,
                 num_players=2, pb_c_base=cfg.pb_c_base,
                 pb_c_init=cfg.pb_c_init, discount=float(cfg.discount),
                 A=A, max_depth=args.sims, tie_jitter=mcts_pallas.TIE_JITTER,
