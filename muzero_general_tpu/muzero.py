@@ -439,7 +439,7 @@ class MuZero:
                     # host-local programs (self-play, reanalyse, eval) don't
                     # mix global and local shardings. Local device->host
                     # pull; no cross-host traffic.
-                    variables = jax.tree_util.tree_map(np.asarray, variables)
+                    variables = jax.device_get(variables)  # batched async pull
                 temperature = cfg.visit_softmax_temperature_fn(training_step)
 
                 # ---- self-play chunk (all G lanes advance K moves) -------

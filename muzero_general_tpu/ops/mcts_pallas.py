@@ -119,6 +119,14 @@ def _descend_kernel(
             jnp.where(mask, arr, jnp.zeros_like(arr)), axis=1, keepdims=True
         )
 
+    # Edge visits are integers bounded by the simulation count; when they
+    # fit bf16's exact-integer range (< 2^8) the visit extraction can run at
+    # DEFAULT (single-pass) precision with no loss. Value sums / rewards /
+    # priors are arbitrary f32 and stay at HIGHEST.
+    vis_precision = (
+        jax.lax.Precision.DEFAULT if max_depth <= 256 else EXACT
+    )
+
     def body(state):
         current, depth, active, parent, action, path_n, path_a, t = state
         # The A edge rows of `current`, all via one shared window mask.
@@ -127,15 +135,15 @@ def _descend_kernel(
         base = current * A
         window = (iota_NA >= base) & (iota_NA < base + A)
 
-        def take(arr_f32):
+        def take(arr_f32, precision=EXACT):
             return jnp.dot(
                 jnp.where(window, arr_f32, 0.0),
                 sel_matrix,
                 preferred_element_type=jnp.float32,
-                precision=EXACT,
+                precision=precision,
             )
 
-        cvis = take(e_visit_f)  # [B, A]
+        cvis = take(e_visit_f, vis_precision)  # [B, A]
         cvsum = take(e_vsum)
         crew = take(e_reward)
         cprior = take(e_prior)
@@ -325,7 +333,15 @@ def _backprop_kernel(
     max_out_ref[:] = mx
 
 
-def fits_vmem(B, N, A, budget_bytes=8 * 1024 * 1024):
+import os
+
+# Per-kernel VMEM budget for choosing the lane block. 8MB default (half of
+# the 16MB VMEM, leaving room for temporaries); override for experiments
+# with MUZERO_PALLAS_VMEM_BUDGET (bytes).
+VMEM_BUDGET = int(os.environ.get("MUZERO_PALLAS_VMEM_BUDGET", 8 * 1024 * 1024))
+
+
+def fits_vmem(B, N, A, budget_bytes=None):
     """Conservative VMEM budget check for the fused kernels.
 
     Counts lane-padded (multiples of 128) array footprints and a 2x factor
@@ -342,6 +358,8 @@ def fits_vmem(B, N, A, budget_bytes=8 * 1024 * 1024):
     def pad8(x):
         return -(-x // 8) * 8
 
+    if budget_bytes is None:
+        budget_bytes = VMEM_BUDGET
     per = B * 4 * (pad(N * A) * 5 + pad(A) + pad(N + 1) * 2 + 8 * pad(1))
     fixed = 4 * pad8(N * A) * pad(A)  # selection matrix
     return 2 * per + fixed < budget_bytes

@@ -322,7 +322,11 @@ class SelfPlayDriver:
         self._carry, rec = chunk_fn(
             variables, self._carry, jnp.asarray(temp_vec)
         )
-        rec = jax.tree_util.tree_map(np.asarray, rec)
+        # device_get starts copy_to_host_async on EVERY leaf before blocking:
+        # one tunnel round-trip for the whole record pytree instead of one
+        # per array (tree_map(np.asarray, ...) cost ~60 ms/move of wall time
+        # through the axon tunnel at connect4 size — device time is 73 ms).
+        rec = jax.device_get(rec)
 
         completed = []
         eval_games = []

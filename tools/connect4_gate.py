@@ -47,7 +47,6 @@ def main():
             "ratio": args.ratio,
             "results_path": str(out),
             "compute_dtype": "bfloat16",
-            "tree_hidden_dtype": "bfloat16",
         },
     )
     t0 = time.time()
