@@ -161,8 +161,14 @@ def measure_reference_pattern(num_moves=30, num_simulations=50):
 
 
 def measure_resnet(num_games=256, num_moves=4, dtype="bfloat16",
-                   peak_tflops=PEAK_TFLOPS_BF16, train_reps=6):
-    """Board-game lane: connect4 shipped config (ResNet 3x64, 200 sims)."""
+                   peak_tflops=PEAK_TFLOPS_BF16, train_reps=6,
+                   batch_leaves=1):
+    """Board-game lane: connect4 shipped config (ResNet 3x64, 200 sims).
+
+    batch_leaves > 1 measures the OPT-IN multi-leaf search
+    (config.search_batch_leaves — K leaves per network call, virtual-visit
+    marks); the headline number stays the reference-exact K=1 search.
+    """
     import jax
     import numpy as np
 
@@ -175,6 +181,7 @@ def measure_resnet(num_games=256, num_moves=4, dtype="bfloat16",
     cfg.parallel_games = num_games
     cfg.selfplay_chunk_moves = num_moves
     cfg.compute_dtype = dtype
+    cfg.search_batch_leaves = batch_leaves
 
     env = make_env()
     runner = MuZeroNetwork(cfg)
@@ -189,6 +196,7 @@ def measure_resnet(num_games=256, num_moves=4, dtype="bfloat16",
     dt = (time.time() - t0) / reps
     sp_steps_per_s = stats["env_steps"] / dt
     expansions_per_s = sp_steps_per_s * cfg.num_simulations
+    extra = {"search_batch_leaves": batch_leaves} if batch_leaves > 1 else {}
 
     # ---- training step throughput + MFU ---------------------------------
     M = 8
@@ -223,6 +231,7 @@ def measure_resnet(num_games=256, num_moves=4, dtype="bfloat16",
     mfu = achieved_tflops / peak_tflops
 
     return {
+        **extra,
         "selfplay_env_steps_per_s": round(sp_steps_per_s, 1),
         "expansions_per_s": round(expansions_per_s, 1),
         "train_steps_per_s": round(train_steps_per_s, 2),
@@ -317,6 +326,10 @@ def main():
         help="fused-kernel network matmul precision tier (cartpole lane)",
     )
     ap.add_argument(
+        "--batch-leaves", type=int, default=1,
+        help="resnet lane: opt-in multi-leaf search (search_batch_leaves)",
+    )
+    ap.add_argument(
         "--remeasure-baseline", action="store_true",
         help="re-run the torch reference-pattern loop instead of the pinned "
         f"denominator ({PINNED_BASELINE_STEPS_PER_S} steps/s)",
@@ -348,6 +361,7 @@ def main():
             num_moves=args.moves or 4,
             dtype=args.dtype,
             peak_tflops=args.peak_tflops,
+            batch_leaves=args.batch_leaves,
         )
         if args.verbose:
             print(f"# resnet lane: {r}", file=sys.stderr)

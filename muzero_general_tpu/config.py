@@ -162,6 +162,14 @@ class MuZeroConfig:
         # f32 oracle). Mosaic has no middle tier. Measured per tier in
         # RESULTS.md round 3.
         self.fused_net_precision = "highest"
+        # Multi-leaf expansion (sub-tree batching with virtual-visit marks,
+        # ops/mcts.py _run_rounds_multileaf): select K leaves per round and
+        # evaluate them with ONE recurrent inference — K-fold fewer
+        # sequential network dispatches per move, at the cost of the classic
+        # virtual-loss selection approximation. 1 = reference-exact search
+        # (shipped default); must divide num_simulations. Useful for
+        # deep-search board games (connect4 200 sims, gomoku 400).
+        self.search_batch_leaves = 1
         # Gumbel MuZero root action selection (ops/gumbel.py, Danihelka et
         # al. ICLR 2022): sequential-halving root search + improved-policy
         # targets — the same policy improvement with far fewer simulations

@@ -7,13 +7,18 @@ preserve the gather-before-scatter ordering (profiler-measured 1.45 ms/sim
 at connect4 size — 78% of a move); expressed through jax.Ref, XLA 0.9
 lowers it to a whole-store predicated fusion that is ~8x worse still.
 
-`write_node_hidden` is the KV-cache-update pattern instead: a one-block
-Pallas kernel whose output block index comes from a scalar-prefetch
-argument and whose store operand is input_output_aliased to the output —
-only the [1, B, F] target block is DMA'd, the rest of the buffer is the
-aliased input, untouched. The read side stays a plain XLA gather on the
-value (ordering with the aliased write follows from the data dependency
-leaf = f(gather(store)); write(store, leaf)).
+`write_node_hidden` is the KV-cache-update pattern: a one-block Pallas
+kernel whose output block index comes from a scalar-prefetch argument and
+whose store operand is input_output_aliased to the output — only the
+[1, B, F] target block is DMA'd, the rest of the buffer is the aliased
+input, untouched.
+
+NOT the production path: in the real search loop XLA still guarded the
+surrounding gather with full-store copies (3 per simulation, measured) —
+the software-pipelined dynamic-update-slice in ops/mcts.py is both simpler
+and copy-free. This module is kept as the measured alternative exercised
+by tools/hidden_store_bench.py (its standalone-loop numbers: value carry
+34 ms / jax.Ref 2969 ms / this kernel 27 ms per 200 row updates).
 """
 
 import jax
@@ -25,15 +30,6 @@ from jax.experimental.pallas import tpu as pltpu
 def _row_write_kernel(idx_ref, leaf_ref, store_in_ref, out_ref):
     del idx_ref, store_in_ref  # block selection happens in the index maps
     out_ref[...] = leaf_ref[...]
-
-
-def update_node_hidden(store, node, leaf):
-    """Backend-dispatching row update: Pallas aliased write on accelerators,
-    plain .at[node].set on CPU (no Pallas CPU lowering; at CPU test scale
-    the copy XLA may insert is irrelevant)."""
-    if jax.default_backend() == "cpu":
-        return store.at[node].set(leaf.astype(store.dtype))
-    return write_node_hidden(store, node, leaf)
 
 
 def write_node_hidden(store, node, leaf, *, interpret=False):

@@ -102,11 +102,24 @@ class SearchSpec(NamedTuple):
     # mode (CPU tests).
     use_pallas: bool = False
     pallas_interpret: bool = False
+    # Multi-leaf expansion (sub-tree batching): select K leaves per round
+    # with virtual-visit marking between selections, evaluate all K with ONE
+    # network call, then backpropagate each. K=1 is the reference-exact
+    # search; K>1 trades a mild selection approximation (the classic
+    # virtual-loss artifact: in-flight marks depress pUCT before their
+    # values land) for K-fold fewer sequential network dispatches.
+    batch_leaves: int = 1
 
     @classmethod
     def from_config(cls, config, batch_size=None):
         if len(config.players) > 2:
             raise NotImplementedError("More than two player mode not implemented.")
+        batch_leaves = int(getattr(config, "search_batch_leaves", 1))
+        if batch_leaves < 1 or config.num_simulations % batch_leaves:
+            raise ValueError(
+                "search_batch_leaves must be >= 1 and divide num_simulations "
+                f"(got {batch_leaves} for {config.num_simulations} simulations)"
+            )
         use_pallas = resolve_fast_path_flag(
             getattr(config, "use_pallas_mcts", False), config
         )
@@ -133,6 +146,7 @@ class SearchSpec(NamedTuple):
             max_depth=config.num_simulations,
             use_pallas=use_pallas,
             pallas_interpret=bool(getattr(config, "pallas_interpret", False)),
+            batch_leaves=batch_leaves,
         )
 
 
@@ -236,67 +250,63 @@ def _ucb_scores(tree: Tree, node, spec: SearchSpec):
     return scores
 
 
-def _simulate_once(tree: Tree, hidden, pending, sim, rng, spec: SearchSpec,
-                   recurrent_fn, depth_bound):
-    """One simulation for all B trees: descend, expand node sim+1, backprop.
+def _flush_pending(hidden, pending):
+    """Write the previous simulation's leaf hidden into the store.
 
-    hidden: the [N, B, ...] node-major hidden store. pending =
-    (node, leaf_hidden) from the PREVIOUS simulation, flushed into the
-    store first (software-pipelined write — module docstring). Returns the
-    new pending write instead of writing this sim's leaf itself.
-    depth_bound: scalar i32 upper bound on this descent's length (max leaf
-    depth of all previous simulations + 1) — loop trip counts are scalar so
-    neither descent nor backprop pays a per-level vector->scalar sync.
+    Explicit dynamic-update-slice: .at[node].set lowers to a scatter that
+    XLA:TPU turns into a whole-store kLoop fusion (~6 ms estimated at
+    connect4 size); DUS is recognized by the in-place pass.
     """
-    B = tree.children_index.shape[0]
-    b_idx = jnp.arange(B)
     pending_node, pending_leaf = pending
-    # Explicit dynamic-update-slice: .at[node].set lowers to a scatter that
-    # XLA:TPU turns into a whole-store kLoop fusion (~6 ms estimated at
-    # connect4 size); DUS is recognized by the in-place pass.
-    hidden = jax.lax.dynamic_update_slice(
+    return jax.lax.dynamic_update_slice(
         hidden,
         pending_leaf.astype(hidden.dtype)[None],
         (pending_node,) + (0,) * (hidden.ndim - 1),
     )
 
+
+def _select_leaf(tree: Tree, rng, spec: SearchSpec, depth_bound):
+    """Descend all B trees to an unexpanded edge.
+
+    Returns (parent [B], action [B], path_nodes [B, D], path_actions [B, D],
+    leaf_depth [B]). depth_bound: scalar i32 upper bound on the descent
+    length — loop trip counts are scalar so no per-level vector sync.
+    """
+    B = tree.children_index.shape[0]
+    b_idx = jnp.arange(B)
+
     if spec.use_pallas:
         from muzero_general_tpu.ops import mcts_pallas
 
         seed = jax.random.randint(rng, (), 0, 2**31 - 1)
-        parent, action, leaf_depth, path_nodes, path_actions = (
-            mcts_pallas.descend(
-                seed,
-                depth_bound,
-                tree.children_index,
-                tree.children_prior,
-                tree.children_visit,
-                tree.children_vsum,
-                tree.children_reward,
-                tree.root_legal,
-                tree.min_value,
-                tree.max_value,
-                num_players=spec.num_players,
-                pb_c_base=spec.pb_c_base,
-                pb_c_init=spec.pb_c_init,
-                discount=spec.discount,
-                A=tree.root_legal.shape[1],
-                max_depth=spec.max_depth,
-                # Same zeroing rule as mcts_fused.FusedSpec.from_config:
-                # interpret runs use deterministic lowest-index tie-break
-                # (see the TIE_JITTER note in ops/mcts_pallas.py).
-                tie_jitter=(
-                    0.0
-                    if (spec.deterministic_tie_break or spec.pallas_interpret)
-                    else mcts_pallas.TIE_JITTER
-                ),
-                interpret=spec.pallas_interpret,
-            )
+        parent, action, leaf_depth, path_n, path_a = mcts_pallas.descend(
+            seed,
+            depth_bound,
+            tree.children_index,
+            tree.children_prior,
+            tree.children_visit,
+            tree.children_vsum,
+            tree.children_reward,
+            tree.root_legal,
+            tree.min_value,
+            tree.max_value,
+            num_players=spec.num_players,
+            pb_c_base=spec.pb_c_base,
+            pb_c_init=spec.pb_c_init,
+            discount=spec.discount,
+            A=tree.root_legal.shape[1],
+            max_depth=spec.max_depth,
+            # Same zeroing rule as mcts_fused.FusedSpec.from_config:
+            # interpret runs use deterministic lowest-index tie-break
+            # (see the TIE_JITTER note in ops/mcts_pallas.py).
+            tie_jitter=(
+                0.0
+                if (spec.deterministic_tie_break or spec.pallas_interpret)
+                else mcts_pallas.TIE_JITTER
+            ),
+            interpret=spec.pallas_interpret,
         )
-        return _expand_and_backprop(
-            tree, hidden, sim, spec, recurrent_fn, parent, action,
-            path_nodes, path_actions, leaf_depth,
-        )
+        return parent, action, path_n, path_a, leaf_depth
 
     # ---- Descent: follow max-UCB edges until an unexpanded edge ----------
     # path_nodes[b, t] = node visited at depth t (root = depth 0);
@@ -346,6 +356,22 @@ def _simulate_once(tree: Tree, hidden, pending, sim, rng, spec: SearchSpec,
     )
     # The new node sits one edge below the deepest recorded node.
     leaf_depth = depth + 1  # edges from root to the new node
+    return parent, action, path_n, path_a, leaf_depth
+
+
+def _simulate_once(tree: Tree, hidden, pending, sim, rng, spec: SearchSpec,
+                   recurrent_fn, depth_bound):
+    """One simulation for all B trees: descend, expand node sim+1, backprop.
+
+    hidden: the [N, B, ...] node-major hidden store. pending =
+    (node, leaf_hidden) from the PREVIOUS simulation, flushed into the
+    store first (software-pipelined write — module docstring). Returns the
+    new pending write instead of writing this sim's leaf itself.
+    """
+    hidden = _flush_pending(hidden, pending)
+    parent, action, path_n, path_a, leaf_depth = _select_leaf(
+        tree, rng, spec, depth_bound
+    )
     return _expand_and_backprop(
         tree, hidden, sim, spec, recurrent_fn, parent, action, path_n,
         path_a, leaf_depth,
@@ -405,81 +431,221 @@ def _expand_and_backprop(
         )
         return tree, hidden, pending, leaf_depth
 
-    # Walk leaf -> root with a while_loop that exits once every lane has
-    # passed its root: iterations = max real path length over the batch,
-    # not the static worst case (typical tree depth ≪ num_simulations).
-    sign = 1.0 if spec.num_players == 1 else -1.0
-    # One reduction before the loop; scalar-only condition thereafter.
-    bp_bound = jnp.max(leaf_depth)
-
-    def backprop_cond(carry):
-        _, _, t_rev = carry
-        return t_rev <= bp_bound
-
-    def backprop_body(carry):
-        tree, value, t_rev = carry
-        t = leaf_depth - t_rev  # per-batch depth index, walks leaf -> root
-        valid = t >= 0
-        at_root = t == 0
-        # node_to_play == vt_leaf  ⟺  (t ≡ leaf_depth mod num_players)
-        # (virtual_to_play advances one player per edge, self_play.py:330-334)
-        if spec.num_players == 1:
-            same = jnp.ones((B,), bool)
-        else:
-            same = (t_rev % 2) == 0
-        delta = jnp.where(same, value, -value)
-
-        # The node's statistics are its incoming edge's; the root keeps
-        # explicit scalars (no incoming edge).
-        en = path_nodes[b_idx, jnp.maximum(t - 1, 0)]
-        ea = path_actions[b_idx, jnp.maximum(t - 1, 0)]
-        on_edge = valid & ~at_root
-        ev_old = tree.children_visit[b_idx, en, ea].astype(jnp.float32)
-        es_old = tree.children_vsum[b_idx, en, ea]
-        erew = tree.children_reward[b_idx, en, ea]
-
-        tree = tree._replace(
-            children_vsum=tree.children_vsum.at[b_idx, en, ea].add(
-                jnp.where(on_edge, delta, 0.0)
-            ),
-            children_visit=tree.children_visit.at[b_idx, en, ea].add(
-                on_edge.astype(jnp.int32)
-            ),
-            root_vsum=tree.root_vsum
-            + jnp.where(valid & at_root, delta, 0.0),
-            root_visit=tree.root_visit + (valid & at_root).astype(jnp.int32),
-        )
-
-        node_value = jnp.where(
-            at_root,
-            tree.root_vsum / jnp.maximum(tree.root_visit, 1).astype(jnp.float32),
-            (es_old + delta) / (ev_old + 1.0),
-        )
-        node_reward = jnp.where(at_root, tree.root_reward, erew)
-        stat = node_reward + spec.discount * sign * node_value
-        tree = tree._replace(
-            min_value=jnp.where(
-                valid, jnp.minimum(tree.min_value, stat), tree.min_value
-            ),
-            max_value=jnp.where(
-                valid, jnp.maximum(tree.max_value, stat), tree.max_value
-            ),
-        )
-
-        if spec.num_players == 1:
-            value_next = node_reward + spec.discount * value
-        else:
-            value_next = (
-                jnp.where(same, -node_reward, node_reward)
-                + spec.discount * value
-            )
-        value = jnp.where(valid, value_next, value)
-        return tree, value, t_rev + 1
-
-    tree, _, _ = jax.lax.while_loop(
-        backprop_cond, backprop_body, (tree, leaf_value, jnp.int32(0))
+    tree = _backprop_vectorized(
+        tree, path_nodes, path_actions, leaf_depth, leaf_value, spec
     )
     return tree, hidden, pending, leaf_depth
+
+
+def _backprop_vectorized(tree: Tree, path_nodes, path_actions, leaf_depth,
+                         leaf_value, spec: SearchSpec, pre_marked=False):
+    """Whole-path backpropagation with NO sequential walk.
+
+    Exact re-formulation of the reference's leaf->root loop
+    (self_play.py:406-430): the per-depth propagated values
+    v(t) = s_{t+1} r_{t+1} + discount * v(t+1), v(L) = leaf value, are an
+    affine recurrence computed with one reverse associative scan over the
+    path (log-depth), and the edge updates become two scatters over the
+    path arrays. Min/max stats are order-free (they only accumulate
+    extrema of the post-update per-node stats), so one masked reduce
+    replaces the walk. Replaces a D-iteration while_loop of gathers and
+    scatters per simulation.
+
+    pre_marked: visit counts along the path (and the root's) were already
+    incremented by a virtual-loss marking pass (multi-leaf expansion); only
+    value sums are added and the gathered visit counts are taken as the
+    post-update counts.
+    """
+    B = tree.children_index.shape[0]
+    D = path_nodes.shape[1]
+    b_idx = jnp.arange(B)
+    t_idx = jnp.arange(D)[None, :]  # depth index, [1, D]
+    L = leaf_depth[:, None]  # [B, 1]
+    sign = 1.0 if spec.num_players == 1 else -1.0
+
+    # Edge j (0-based) = (path_nodes[j], path_actions[j]) leads to the node
+    # at depth j+1; it exists for j < L. Beyond L the path arrays hold
+    # -1/0 padding — clamp to 0 and mask every use.
+    edge_mask = t_idx < L  # [B, D]
+    pn = jnp.where(edge_mask, path_nodes, 0)
+    pa = jnp.where(edge_mask, path_actions, 0)
+    bcol = b_idx[:, None]
+    r_edge = tree.children_reward[bcol, pn, pa]  # [B, D] reward of node j+1
+    ev_old = tree.children_visit[bcol, pn, pa].astype(jnp.float32)
+    es_old = tree.children_vsum[bcol, pn, pa]
+
+    # node_to_play == vt_leaf  ⟺  t ≡ L (mod num_players)
+    if spec.num_players == 1:
+        same = jnp.ones((B, D), bool)
+        s_next = jnp.ones((B, D))
+    else:
+        same = ((L - t_idx) % 2) == 0  # at node depth t
+        s_next = jnp.where(((L - (t_idx + 1)) % 2) == 0, -1.0, 1.0)
+
+    # v(t) via reverse associative scan of affine maps f_t(x) = a_t x + b_t:
+    #   t <  L: a = discount, b = s_{t+1} * reward_{t+1}
+    #   t == L: a = 0,        b = leaf value          (absorbs the start)
+    #   t >  L: a = 0,        b = 0                   (masked out later)
+    a_coef = jnp.where(edge_mask, spec.discount, 0.0)
+    b_coef = jnp.where(
+        edge_mask, s_next * r_edge,
+        jnp.where(t_idx == L, leaf_value[:, None], 0.0),
+    )
+
+    def compose(acc, elem):
+        # Under reverse=True jax scans the flipped sequence forward, so
+        # `acc` combines the HIGHER depths and `elem` is the new lower
+        # depth: the result must be f_elem(f_acc(x)).
+        a_l, b_l = acc
+        a_r, b_r = elem
+        return a_r * a_l, a_r * b_l + b_r
+
+    _, v = jax.lax.associative_scan(
+        compose, (a_coef, b_coef), reverse=True, axis=1
+    )  # v[:, t] = value propagated into the node at depth t
+
+    node_mask = t_idx <= L
+    delta = jnp.where(same, v, -v)  # value-sum contribution at depth t
+
+    # ---- scatters: edge j gets node (j+1)'s delta -----------------------
+    edge_delta = jnp.concatenate(
+        [delta[:, 1:], jnp.zeros((B, 1))], axis=1
+    )
+    children_vsum = tree.children_vsum.at[bcol, pn, pa].add(
+        jnp.where(edge_mask, edge_delta, 0.0)
+    )
+    if pre_marked:
+        children_visit = tree.children_visit
+        root_visit = tree.root_visit
+        visit_inc = 0.0
+    else:
+        children_visit = tree.children_visit.at[bcol, pn, pa].add(
+            edge_mask.astype(jnp.int32)
+        )
+        root_visit = tree.root_visit + 1
+        visit_inc = 1.0
+    root_vsum = tree.root_vsum + delta[:, 0]
+
+    # ---- min/max over post-update node stats ----------------------------
+    # Node at depth t >= 1 owns edge t-1's stats; depth 0 is the root.
+    def node_shift(edge_arr, root_col):
+        return jnp.concatenate([root_col[:, None], edge_arr[:, :-1]], axis=1)
+
+    nvis = node_shift(ev_old, tree.root_visit.astype(jnp.float32)) + visit_inc
+    nsum = node_shift(es_old, tree.root_vsum)
+    nrew = node_shift(r_edge, tree.root_reward)
+    node_val = (nsum + delta) / jnp.maximum(nvis, 1.0)
+    stat = nrew + spec.discount * sign * node_val
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    min_value = jnp.minimum(
+        tree.min_value, jnp.min(jnp.where(node_mask, stat, big), axis=1)
+    )
+    max_value = jnp.maximum(
+        tree.max_value, jnp.max(jnp.where(node_mask, stat, -big), axis=1)
+    )
+
+    return tree._replace(
+        children_visit=children_visit,
+        children_vsum=children_vsum,
+        root_visit=root_visit,
+        root_vsum=root_vsum,
+        min_value=min_value,
+        max_value=max_value,
+    )
+
+
+def _apply_virtual_marks(tree: Tree, path_nodes, path_actions, leaf_depth):
+    """Virtual-visit marking: +1 visit on every path edge and the root.
+
+    Applied between the K leaf selections of a multi-leaf round so later
+    selections are steered away from in-flight leaves; the matching
+    backprops then run with pre_marked=True (values only).
+    """
+    B, D = path_nodes.shape
+    bcol = jnp.arange(B)[:, None]
+    t_idx = jnp.arange(D)[None, :]
+    edge_mask = t_idx < leaf_depth[:, None]
+    pn = jnp.where(edge_mask, path_nodes, 0)
+    pa = jnp.where(edge_mask, path_actions, 0)
+    return tree._replace(
+        children_visit=tree.children_visit.at[bcol, pn, pa].add(
+            edge_mask.astype(jnp.int32)
+        ),
+        root_visit=tree.root_visit + 1,
+    )
+
+
+def _run_rounds_multileaf(tree, hidden, pending0, rng, spec, recurrent_fn):
+    """num_simulations/K rounds of K-leaf expansion (SearchSpec.batch_leaves).
+
+    Per round: K sequential selections with virtual-visit marks between
+    them, ONE recurrent inference over the K*B stacked leaves, K expansions
+    and K value-only backprops. Returns (tree, hidden, max_depth).
+    """
+    K = spec.batch_leaves
+    R = spec.num_simulations // K
+    B = tree.children_index.shape[0]
+    b_idx = jnp.arange(B)
+
+    # K pending hidden writes; initially all of them (re)write the root row.
+    pendings0 = tuple((jnp.int32(0), pending0[1]) for _ in range(K))
+
+    def round_body(carry, r):
+        tree, hidden, pendings, maxd = carry
+        for pend in pendings:
+            hidden = _flush_pending(hidden, pend)
+        depth_bound = jnp.max(maxd) + 1
+
+        sels = []
+        for k in range(K):
+            key = jax.random.fold_in(rng, r * K + k + 1)
+            sel = _select_leaf(tree, key, spec, depth_bound)
+            tree = _apply_virtual_marks(tree, sel[2], sel[3], sel[4])
+            sels.append(sel)
+
+        # ---- ONE batched recurrent inference over all K leaves ----------
+        actions = jnp.concatenate([s[1] for s in sels])
+        ph = jnp.concatenate([hidden[s[0], b_idx] for s in sels], axis=0)
+        v_l, r_l, p_l, h2 = recurrent_fn(ph, actions)
+        leaf_values = support_to_scalar(v_l, spec.support_size)
+        leaf_rewards = support_to_scalar(r_l, spec.support_size)
+        priors = jax.nn.softmax(p_l, axis=-1)
+
+        new_pendings = []
+        for k, (parent, action, path_n, path_a, leaf_depth) in enumerate(sels):
+            new_node = r * K + (k + 1)
+            lv = leaf_values[k * B:(k + 1) * B]
+            lr = leaf_rewards[k * B:(k + 1) * B]
+            pr = priors[k * B:(k + 1) * B]
+            h2k = h2[k * B:(k + 1) * B]
+            # If two selections of one round picked the SAME unexpanded edge
+            # (possible when marks cannot diversify, e.g. one legal action),
+            # the later children_index write wins and the earlier node slot
+            # is orphaned; both backprops still credit the same edges, so
+            # visit conservation holds.
+            tree = tree._replace(
+                children_index=tree.children_index.at[
+                    b_idx, parent, action
+                ].set(new_node),
+                children_reward=tree.children_reward.at[
+                    b_idx, parent, action
+                ].set(lr),
+                children_prior=tree.children_prior.at[:, new_node].set(pr),
+            )
+            tree = _backprop_vectorized(
+                tree, path_n, path_a, leaf_depth, lv, spec, pre_marked=True
+            )
+            new_pendings.append((new_node.astype(jnp.int32), h2k))
+            maxd = jnp.maximum(maxd, leaf_depth)
+        return (tree, hidden, tuple(new_pendings), maxd), None
+
+    (tree, hidden, _, maxd), _ = jax.lax.scan(
+        round_body,
+        (tree, hidden, pendings0,
+         jnp.zeros((B,), jnp.int32)),
+        jnp.arange(R),
+    )
+    return tree, hidden, maxd
 
 
 def run_mcts(
@@ -529,6 +695,19 @@ def run_mcts(
     hidden = jnp.zeros((N,) + hidden0.shape, hidden0.dtype)
     # The root row is the first pipelined write (flushed at sim 0's start).
     pending0 = (jnp.int32(0), hidden0)
+
+    if spec.batch_leaves > 1:
+        tree, hidden, max_depth = _run_rounds_multileaf(
+            tree, hidden, pending0, rng, spec, recurrent_fn
+        )
+        return MCTSOutput(
+            root_visit_counts=tree.children_visit[:, 0],
+            root_value=tree.root_value(),
+            root_predicted_value=root_predicted_value,
+            max_tree_depth=max_depth,
+            tree=tree,
+            root_hidden=hidden0,
+        )
 
     def sim_body(carry, sim):
         tree, hidden, pending, max_depth = carry
