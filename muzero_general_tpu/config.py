@@ -116,6 +116,11 @@ class MuZeroConfig:
         self.parallel_games = 16
         # Moves executed per jitted self-play call (host dispatch amortization)
         self.selfplay_chunk_moves = 8
+        # Scripted-opponent evaluation cadence for 2-player games: play one
+        # game vs config.opponent every N outer loops (the reference's
+        # free-running test worker, self_play.py:54-90, re-timed for the
+        # synchronous schedule). Lower = denser muzero_reward curves.
+        self.eval_interval_loops = 4
         # Device mesh axis sizes; None = use all devices on the dp axis.
         self.mesh_dp = None
         self.mesh_mp = 1
@@ -170,6 +175,11 @@ class MuZeroConfig:
         # (shipped default); must divide num_simulations. Useful for
         # deep-search board games (connect4 200 sims, gomoku 400).
         self.search_batch_leaves = 1
+        # Fold batch norms into conv weights for the self-play search path
+        # (ResNet games; models/network.py fold_bn_variables). Exact up to
+        # float reassociation (ULP-tested); folding runs once per play
+        # chunk, the per-simulation recurrent inference loses every BN pass.
+        self.fold_bn_inference = True
         # Gumbel MuZero root action selection (ops/gumbel.py, Danihelka et
         # al. ICLR 2022): sequential-halving root search + improved-policy
         # targets — the same policy improvement with far fewer simulations

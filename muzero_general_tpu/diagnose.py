@@ -115,7 +115,9 @@ class DiagnoseModel:
     def __init__(self, runner, config):
         self.runner = runner
         self.config = config
-        self.spec = mcts_ops.SearchSpec.from_config(config)
+        # batch_size=1 gates the Pallas kernels off (diagnosis searches are
+        # batch-1; see evaluate.py).
+        self.spec = mcts_ops.SearchSpec.from_config(config, batch_size=1)
         self._rng = jax.random.PRNGKey(config.seed)
 
     def _search(self, variables, obs=None, legal=None, to_play=0, root_outputs=None):
@@ -151,7 +153,7 @@ class DiagnoseModel:
             action = int(np.argmax(visits))
             virtual_to_play = (virtual_to_play + 1) % P
 
-            root_hidden = out.tree.hidden[0]  # node-major store: node 0 row
+            root_hidden = out.root_hidden  # [1, ...] root hidden state
             value_l, reward_l, policy_l, hidden = self.runner.recurrent_inference(
                 variables, root_hidden, jnp.full((1,), action, jnp.int32)
             )

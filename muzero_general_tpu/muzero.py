@@ -463,7 +463,8 @@ class MuZero:
                     and cfg.opponent != "human"
                 )
                 test_games = stats.get("eval_games", [])
-                if use_opponent and loop_counter % 4 == 1:
+                eval_every = max(1, int(getattr(cfg, "eval_interval_loops", 4)))
+                if use_opponent and loop_counter % eval_every == 1 % eval_every:
                     from muzero_general_tpu.evaluate import (
                         play_against_opponent,
                     )

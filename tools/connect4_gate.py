@@ -47,6 +47,10 @@ def main():
             "ratio": args.ratio,
             "results_path": str(out),
             "compute_dtype": "bfloat16",
+            # One eval game vs the expert per outer loop: dense
+            # muzero_reward curve (the default every-4-loops cadence gives
+            # too few points on a fast chip-bound run).
+            "eval_interval_loops": 1,
         },
     )
     t0 = time.time()
