@@ -246,6 +246,77 @@ def measure_resnet(num_games=256, num_moves=4, dtype="bfloat16",
     }
 
 
+def measure_host(num_games=64, num_moves=16):
+    """Host-path lane: lunarlander (reference games/lunarlander.py:109
+    workload) through HostSelfPlayDriver — env transitions on the host,
+    batched 50-sim MCTS on device each move. The number that tells whether
+    the host driver is a bottleneck for gym/Box2D/ALE-class games."""
+    import jax
+
+    from muzero_general_tpu.games.lunarlander import MuZeroConfig, make_env
+    from muzero_general_tpu.hostplay import HostSelfPlayDriver
+    from muzero_general_tpu.models import MuZeroNetwork
+
+    cfg = MuZeroConfig()
+    cfg.parallel_games = num_games
+    runner = MuZeroNetwork(cfg)
+    variables = runner.init(jax.random.PRNGKey(0))
+    driver = HostSelfPlayDriver(
+        lambda seed=0: make_env(seed=seed), runner, cfg, seed=0
+    )
+    driver.play(variables, temperature=1.0, num_moves=2)  # compile
+    t0 = time.time()
+    reps = 2
+    total = 0
+    for _ in range(reps):
+        _, stats = driver.play(variables, temperature=1.0, num_moves=num_moves)
+        total += stats["env_steps"]
+    dt = time.time() - t0
+    return {
+        "selfplay_env_steps_per_s": round(total / dt, 1),
+        "lanes": num_games,
+        "num_simulations": cfg.num_simulations,
+        "moves_per_rep": num_moves,
+    }
+
+
+def measure_gomoku(num_games=64, num_moves=2, dtype="bfloat16"):
+    """Gomoku lane: the reference's deepest-search config
+    (reference games/gomoku.py:42,60-66 — 400 sims, A=121, 6x128 net).
+    N*A ~ 49k edges keeps this on the staged XLA search (the Pallas VMEM
+    gate rejects it; ops/mcts_pallas.fits_vmem*); this lane records what
+    that path delivers."""
+    import jax
+
+    from muzero_general_tpu.games.gomoku import MuZeroConfig, make_env
+    from muzero_general_tpu.models import MuZeroNetwork
+    from muzero_general_tpu.selfplay import SelfPlayDriver
+
+    cfg = MuZeroConfig()
+    cfg.parallel_games = num_games
+    cfg.selfplay_chunk_moves = num_moves
+    cfg.compute_dtype = dtype
+    env = make_env()
+    runner = MuZeroNetwork(cfg)
+    variables = runner.init(jax.random.PRNGKey(0))
+    driver = SelfPlayDriver(env, runner, cfg, seed=0)
+    driver.play(variables, temperature=1.0)  # compile
+    t0 = time.time()
+    reps = 2
+    for _ in range(reps):
+        _, stats = driver.play(variables, temperature=1.0)
+    dt = (time.time() - t0) / reps
+    sp = stats["env_steps"] / dt
+    return {
+        "selfplay_env_steps_per_s": round(sp, 1),
+        "expansions_per_s": round(sp * cfg.num_simulations, 1),
+        "lanes": num_games,
+        "num_simulations": cfg.num_simulations,
+        "use_pallas": driver.spec.use_pallas,
+        "dtype": dtype,
+    }
+
+
 def measure_atari_train(dtype="bfloat16", peak_tflops=PEAK_TFLOPS_BF16,
                         batch_size=256, train_reps=4):
     """Atari-class train step: 16-block x 256-channel downsample ResNet
@@ -312,7 +383,8 @@ def measure_atari_train(dtype="bfloat16", peak_tflops=PEAK_TFLOPS_BF16,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--lane", choices=["cartpole", "resnet", "atari_train"],
+        "--lane",
+        choices=["cartpole", "resnet", "atari_train", "host", "gomoku"],
         default="cartpole",
     )
     ap.add_argument("--games", type=int, default=None)
@@ -348,6 +420,41 @@ def main():
                 {
                     "metric": "atari_resnet_train_steps_per_s",
                     "value": r["train_steps_per_s"],
+                    "unit": "steps/s",
+                    "detail": r,
+                }
+            )
+        )
+        return
+
+    if args.lane == "host":
+        r = measure_host(num_games=args.games or 64, num_moves=args.moves or 16)
+        if args.verbose:
+            print(f"# host lane: {r}", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "lunarlander_host_env_steps_per_s",
+                    "value": r["selfplay_env_steps_per_s"],
+                    "unit": "steps/s",
+                    "detail": r,
+                }
+            )
+        )
+        return
+
+    if args.lane == "gomoku":
+        r = measure_gomoku(
+            num_games=args.games or 64, num_moves=args.moves or 2,
+            dtype=args.dtype,
+        )
+        if args.verbose:
+            print(f"# gomoku lane: {r}", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "gomoku_env_steps_per_s",
+                    "value": r["selfplay_env_steps_per_s"],
                     "unit": "steps/s",
                     "detail": r,
                 }

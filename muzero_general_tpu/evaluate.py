@@ -40,7 +40,10 @@ def _mcts_policy_fn(runner, config, variables):
 
             _search_cache[key] = search_core
     else:
-        spec = mcts_ops.SearchSpec.from_config(config)
+        # batch_size=1: the block gate turns the Pallas kernels off for the
+        # batch-1 eval search (blocks need >= 8 lanes; Mosaic also miscompiles
+        # [1, A] planar operands — r4 gate crash) — the XLA path wins at B=1.
+        spec = mcts_ops.SearchSpec.from_config(config, batch_size=1)
         key = (id(runner), spec)
         if key not in _search_cache:
 

@@ -41,12 +41,25 @@ class HostSelfPlayDriver:
         self._rng = jax.random.PRNGKey(base_seed)
 
         runner_ref = runner
+        # BN folding for the per-move search (see selfplay.SelfPlayDriver):
+        # host games with ResNet nets (e.g. atari) fold once per move batch.
+        fold_bn = (
+            bool(getattr(config, "fold_bn_inference", True))
+            and runner.folded_module is not None
+        )
 
         @jax.jit
         def search_and_select(variables, stacked, legal, to_play, temperature, rng):
+            if fold_bn:
+                variables = runner_ref.fold_variables(variables)
+                infer_initial = runner_ref.initial_inference_folded
+                infer_recurrent = runner_ref.recurrent_inference_folded
+            else:
+                infer_initial = runner_ref.initial_inference
+                infer_recurrent = runner_ref.recurrent_inference
             out = mcts_ops.run_mcts(
-                lambda o: runner_ref.initial_inference(variables, o),
-                lambda h, a: runner_ref.recurrent_inference(variables, h, a),
+                lambda o: infer_initial(variables, o),
+                lambda h, a: infer_recurrent(variables, h, a),
                 stacked, legal, to_play, rng, self.spec,
                 add_exploration_noise=True,
             )

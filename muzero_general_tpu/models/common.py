@@ -103,13 +103,32 @@ def conv3x3(features, strides=1, dtype=jnp.float32):
 
 
 class ResidualBlock(nn.Module):
-    """conv-bn-relu-conv-bn + skip, relu (reference models.py:213-229)."""
+    """conv-bn-relu-conv-bn + skip, relu (reference models.py:213-229).
+
+    fold_bn: inference-only variant with the batch norms folded into the
+    convolutions (kernel *= gamma*rsqrt(var+eps); bias = beta - mean*that).
+    Parameters for this variant come from network.fold_bn_variables — the
+    TorchConv numbering is unchanged because BatchNorm uses its own counter.
+    """
 
     channels: int
     dtype: jnp.dtype = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.fold_bn:
+            assert not train, "fold_bn is an inference-only variant"
+            out = TorchConv(
+                self.channels, kernel_size=(3, 3), padding=1, use_bias=True,
+                dtype=self.dtype,
+            )(x)
+            out = jax.nn.relu(out)
+            out = TorchConv(
+                self.channels, kernel_size=(3, 3), padding=1, use_bias=True,
+                dtype=self.dtype,
+            )(out)
+            return jax.nn.relu(out + x)
         out = conv3x3(self.channels, dtype=self.dtype)(x)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9)(out)
         out = jax.nn.relu(out)

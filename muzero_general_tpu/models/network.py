@@ -14,6 +14,58 @@ import jax.numpy as jnp
 from muzero_general_tpu.models.fc import FCMuZero
 from muzero_general_tpu.models.resnet import ResMuZero
 
+_BN_EPS = 1e-5  # flax nn.BatchNorm default epsilon
+
+
+def fold_bn_variables(variables):
+    """Fold batch norms into their preceding convolutions (inference only).
+
+    Maps the trained ResMuZero variables ({'params', 'batch_stats'}) onto
+    the parameter tree of the fold_bn=True module variant: at every scope,
+    TorchConv_i paired with sibling BatchNorm_i becomes a biased conv with
+      kernel' = kernel * s,   bias' = beta - mean * s,
+      s = gamma * rsqrt(var + eps)   (per output channel),
+    and the BatchNorm entries disappear. y = conv'(x) equals
+    bn(conv(x)) up to float reassociation; the search path then runs one
+    conv + relu per layer with no separate normalization pass.
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    def fold_scope(p_scope, s_scope):
+        out = {}
+        for name, sub in p_scope.items():
+            if name.startswith("BatchNorm_"):
+                continue  # consumed by its paired conv below
+            if name.startswith("TorchConv_"):
+                idx = name.split("_", 1)[1]
+                bn = p_scope.get(f"BatchNorm_{idx}")
+                if bn is not None:
+                    st = s_scope[f"BatchNorm_{idx}"]
+                    s = bn["scale"] * jax.lax.rsqrt(st["var"] + _BN_EPS)
+                    kernel = sub["kernel"] * s  # [kh, kw, in, out] * [out]
+                    bias = bn["bias"] - st["mean"] * s
+                    if "bias" in sub:
+                        bias = bias + sub["bias"] * s
+                    out[name] = {"kernel": kernel, "bias": bias}
+                    continue
+                out[name] = sub
+                continue
+            if (
+                isinstance(sub, dict)
+                and sub
+                and all(isinstance(v, dict) for v in sub.values())
+            ):
+                # Submodule scope (flax scopes contain only dicts; leaf
+                # param dicts like TorchDense's {'kernel','bias'} contain
+                # only arrays and are copied unchanged below).
+                out[name] = fold_scope(dict(sub), dict(s_scope.get(name, {})))
+            else:
+                out[name] = sub
+        return out
+
+    return {"params": fold_scope(dict(params), dict(stats))}
+
 
 class NetworkRunner:
     """Stateless apply-wrapper around a MuZero flax module."""
@@ -21,6 +73,13 @@ class NetworkRunner:
     def __init__(self, module, config):
         self.module = module
         self.config = config
+        # Inference-only BN-folded twin (ResNet only): same architecture
+        # with fold_bn=True; apply with fold_bn_variables(variables).
+        self.folded_module = (
+            module.clone(fold_bn=True)
+            if isinstance(module, ResMuZero)
+            else None
+        )
 
     # -- init ------------------------------------------------------------
     def stacked_observation_shape(self):
@@ -47,6 +106,23 @@ class NetworkRunner:
             action,
             train=False,
             method=self.module.recurrent_inference,
+        )
+
+    # -- BN-folded inference (ResNet search path) ------------------------
+    def fold_variables(self, variables):
+        """Trained variables -> folded-variant variables (fold_bn_variables)."""
+        return fold_bn_variables(variables)
+
+    def initial_inference_folded(self, folded_variables, observation):
+        return self.folded_module.apply(
+            folded_variables, observation, train=False,
+            method=self.folded_module.initial_inference,
+        )
+
+    def recurrent_inference_folded(self, folded_variables, hidden, action):
+        return self.folded_module.apply(
+            folded_variables, hidden, action, train=False,
+            method=self.folded_module.recurrent_inference,
         )
 
     # -- training mode (mutates batch_stats) -----------------------------

@@ -44,6 +44,7 @@ class DownSampleResnet(nn.Module):
 
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -56,7 +57,7 @@ class DownSampleResnet(nn.Module):
             dtype=self.dtype,
         )(x)
         for _ in range(2):
-            x = ResidualBlock(self.out_channels // 2, dtype=self.dtype)(x, train)
+            x = ResidualBlock(self.out_channels // 2, dtype=self.dtype, fold_bn=self.fold_bn)(x, train)
         x = TorchConv(
             self.out_channels,
             kernel_size=(3, 3),
@@ -66,10 +67,10 @@ class DownSampleResnet(nn.Module):
             dtype=self.dtype,
         )(x)
         for _ in range(3):
-            x = ResidualBlock(self.out_channels, dtype=self.dtype)(x, train)
+            x = ResidualBlock(self.out_channels, dtype=self.dtype, fold_bn=self.fold_bn)(x, train)
         x = nn.avg_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for _ in range(3):
-            x = ResidualBlock(self.out_channels, dtype=self.dtype)(x, train)
+            x = ResidualBlock(self.out_channels, dtype=self.dtype, fold_bn=self.fold_bn)(x, train)
         x = nn.avg_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         return x
 
@@ -112,6 +113,7 @@ class RepresentationResnet(nn.Module):
     num_channels: int
     downsample: object
     dtype: jnp.dtype = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -121,7 +123,9 @@ class RepresentationResnet(nn.Module):
         )
         if self.downsample:
             if self.downsample == "resnet":
-                x = DownSampleResnet(self.num_channels, dtype=self.dtype)(x, train)
+                x = DownSampleResnet(
+                    self.num_channels, dtype=self.dtype, fold_bn=self.fold_bn
+                )(x, train)
             elif self.downsample == "CNN":
                 x = DownsampleCNN(
                     in_channels,
@@ -135,11 +139,17 @@ class RepresentationResnet(nn.Module):
             else:
                 raise NotImplementedError('downsample should be "resnet" or "CNN".')
         else:
-            x = conv3x3(self.num_channels, dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            if self.fold_bn:
+                x = TorchConv(
+                    self.num_channels, kernel_size=(3, 3), padding=1,
+                    use_bias=True, dtype=self.dtype,
+                )(x)
+            else:
+                x = conv3x3(self.num_channels, dtype=self.dtype)(x)
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
             x = jax.nn.relu(x)
         for _ in range(self.num_blocks):
-            x = ResidualBlock(self.num_channels, dtype=self.dtype)(x, train)
+            x = ResidualBlock(self.num_channels, dtype=self.dtype, fold_bn=self.fold_bn)(x, train)
         return x
 
 
@@ -153,14 +163,21 @@ class DynamicsResnet(nn.Module):
     full_support_size: int
     block_output_size_reward: int
     dtype: jnp.dtype = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = conv3x3(self.num_channels - 1, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        if self.fold_bn:
+            x = TorchConv(
+                self.num_channels - 1, kernel_size=(3, 3), padding=1,
+                use_bias=True, dtype=self.dtype,
+            )(x)
+        else:
+            x = conv3x3(self.num_channels - 1, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
         x = jax.nn.relu(x)
         for _ in range(self.num_blocks):
-            x = ResidualBlock(self.num_channels - 1, dtype=self.dtype)(x, train)
+            x = ResidualBlock(self.num_channels - 1, dtype=self.dtype, fold_bn=self.fold_bn)(x, train)
         state = x
         r = TorchConv(
             self.reduced_channels_reward,
@@ -185,11 +202,12 @@ class PredictionResnet(nn.Module):
     fc_policy_layers: Sequence[int]
     full_support_size: int
     dtype: jnp.dtype = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for _ in range(self.num_blocks):
-            x = ResidualBlock(self.num_channels, dtype=self.dtype)(x, train)
+            x = ResidualBlock(self.num_channels, dtype=self.dtype, fold_bn=self.fold_bn)(x, train)
         v = TorchConv(
             self.reduced_channels_value, kernel_size=(1, 1), padding=0, dtype=self.dtype
         )(x)
@@ -223,6 +241,10 @@ class ResMuZero(nn.Module):
     support_size: int
     downsample: object
     dtype: jnp.dtype = jnp.float32
+    # Inference-only BN-folded variant: apply with params produced by
+    # models.network.fold_bn_variables (the search path's per-simulation
+    # recurrent inference loses the BN elementwise passes entirely).
+    fold_bn: bool = False
 
     @property
     def full_support_size(self):
@@ -245,6 +267,7 @@ class ResMuZero(nn.Module):
             self.num_channels,
             self.downsample,
             dtype=self.dtype,
+            fold_bn=self.fold_bn,
         )
         self.dynamics_network = DynamicsResnet(
             self.num_blocks,
@@ -254,6 +277,7 @@ class ResMuZero(nn.Module):
             self.full_support_size,
             self.reduced_channels_reward * h * w,
             dtype=self.dtype,
+            fold_bn=self.fold_bn,
         )
         self.prediction_network = PredictionResnet(
             self.action_space_size,
@@ -265,6 +289,7 @@ class ResMuZero(nn.Module):
             self.fc_policy_layers,
             self.full_support_size,
             dtype=self.dtype,
+            fold_bn=self.fold_bn,
         )
 
     def representation(self, observation, train: bool = False):

@@ -24,6 +24,7 @@ Used by SelfPlayDriver when `config.use_pallas_mcts` and shapes allow.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -197,14 +198,188 @@ def _descend_kernel(
     one0 = jnp.ones((B, 1), jnp.int32)
     path_n0 = jnp.where(iota_D == 0, 0, jnp.full((B, D), -1, jnp.int32))
     path_a0 = jnp.zeros((B, D), jnp.int32)
-    _, depth, _, parent, action, path_n, path_a, _ = jax.lax.while_loop(
+    _, depth, active, parent, action, path_n, path_a, _ = jax.lax.while_loop(
         cond,
         body,
         (col0, col0, one0, col0, col0, path_n0, path_a0, jnp.int32(0)),
     )
     parent_ref[:] = parent
     action_ref[:] = action
-    depth_ref[:] = depth + 1  # leaf sits one edge below
+    # A lane still active after `bound` iterations never reached an
+    # unexpanded edge — the caller's depth_bound contract was violated.
+    # Mark it with depth = -1 so the corruption is detectable instead of
+    # silently overwriting root edge 0 (ADVICE r3).
+    depth_ref[:] = jnp.where(active == 1, -1, depth + 1)
+    path_n_ref[:] = path_n
+    path_a_ref[:] = path_a
+
+
+def _descend_kernel_planar(
+    seed_ref,  # [2] int32 (SMEM): (PRNG seed, depth bound)
+    e_child_ref,  # [B, A, N] i32   (planar per-action slabs)
+    e_prior_ref,  # [B, A, N] f32
+    e_visit_ref,  # [B, A, N] i32   (aliased -> e_visit_out when mark_visits)
+    e_vsum_ref,  # [B, A, N] f32
+    e_reward_ref,  # [B, A, N] f32
+    root_legal_ref,  # [B, A] bool->i32
+    min_ref,  # [B, 1] f32
+    max_ref,  # [B, 1] f32
+    parent_ref,  # out [B, 1] i32
+    action_ref,  # out [B, 1] i32
+    depth_ref,  # out [B, 1] i32  (edges to the new leaf)
+    path_n_ref,  # out [B, D] i32  (node at depth t; -1 padded)
+    path_a_ref,  # out [B, D] i32  (action taken from depth t; 0 padded)
+    *rest,  # (e_visit_out_ref,) when mark_visits
+    num_players: int,
+    pb_c_base: float,
+    pb_c_init: float,
+    discount: float,
+    A: int,
+    max_depth: int,
+    tie_jitter: float,
+    mark_visits: bool = False,
+):
+    """Planar-slab descend: stats laid out [B, A, N] (one [B, N] plane per
+    action) instead of the flat [B, N*A] edge slab.
+
+    Per tree level the node-row extraction becomes ONE [B, A, N] one-hot
+    mask + multiply + lane-reduce per stat (pure VPU, exact — no masked
+    matmul): the node-major kernel's 4 HIGHEST-precision [B, N*A] x
+    [N*A, A] MXU matmuls (6 bf16 passes each, output lanes padded A->128)
+    are gone, which is where ~all of its per-level time went (descend was
+    27 of 74 ms per 200-sim connect4 move in the r3 profile).
+
+    mark_visits (multi-leaf rounds): every traversed edge, including the
+    final unexpanded one, gets +1 visit in-kernel (aliased slab). Bumping
+    the edge just taken cannot change the remainder of the same descent (a
+    descent never revisits a node), so this is EXACTLY the reference
+    virtual-visit marking applied after the selection — without the XLA
+    scatter that cost 446 us per mark at connect4 size (r4 trace). The
+    root's scalar visit counter is incremented by the caller.
+    """
+    B = e_child_ref.shape[0]
+    if tie_jitter > 0:  # PRNG only on the real TPU path (no interpret impl)
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    bound = jnp.minimum(seed_ref[1], max_depth - 1)
+
+    e_child = e_child_ref[:].astype(jnp.float32)  # [B, A, N]; N < 2^24 exact
+    e_prior = e_prior_ref[:]
+    e_visit_f = e_visit_ref[:].astype(jnp.float32)
+    e_vsum = e_vsum_ref[:]
+    e_reward = e_reward_ref[:]
+    legal = root_legal_ref[:] != 0  # [B, A]
+    mn = min_ref[:]  # [B, 1]
+    mx = max_ref[:]
+    span_ok = mx > mn
+    inv_span = 1.0 / jnp.maximum(mx - mn, 1e-30)
+
+    sign = 1.0 if num_players == 1 else -1.0
+    D = path_n_ref.shape[1]
+    N = e_child.shape[2]
+
+    iota_N3 = jax.lax.broadcasted_iota(jnp.int32, (B, A, N), 2)
+    iota_A = jax.lax.broadcasted_iota(jnp.int32, (B, A), 1)
+    iota_D = jax.lax.broadcasted_iota(jnp.int32, (B, D), 1)
+
+    def row_gather(arr, idx_col):
+        """arr [B, L], idx_col [B, 1] i32 -> [B, 1] (mask-reduce)."""
+        mask = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1) == idx_col
+        return jnp.sum(
+            jnp.where(mask, arr, jnp.zeros_like(arr)), axis=1, keepdims=True
+        )
+
+    def body(state):
+        # The visit slab is loop-carried ONLY when marking (the K=1 path
+        # keeps it a loop-invariant closure value — no extra carry buffers).
+        if mark_visits:
+            (current, depth, active, parent, action, path_n, path_a,
+             e_visit_c, t) = state
+        else:
+            current, depth, active, parent, action, path_n, path_a, t = state
+            e_visit_c = e_visit_f
+        # One-hot over the node axis, shared by every stat extraction.
+        mask = iota_N3 == current[:, :, None]  # [B, A, N] (broadcast B,1,1)
+
+        def take(arr):
+            return jnp.sum(jnp.where(mask, arr, 0.0), axis=2)  # [B, A]
+
+        cvis = take(e_visit_c)
+        cvsum = take(e_vsum)
+        crew = take(e_reward)
+        cprior = take(e_prior)
+        cchild = take(e_child)  # [B, A] f32 (unexpanded edge = -1)
+        cval = jnp.where(cvis > 0, cvsum / jnp.maximum(cvis, 1.0), 0.0)
+        pvis = jnp.sum(cvis, axis=1, keepdims=True) + jnp.where(
+            current != 0, 1.0, 0.0
+        )
+
+        pb_c = (
+            jnp.log((pvis + pb_c_base + 1.0) / pb_c_base) + pb_c_init
+        ) * jnp.sqrt(pvis) / (cvis + 1.0)
+        prior_score = pb_c * cprior
+        q = crew + discount * sign * cval
+        qn = jnp.where(span_ok, (q - mn) * inv_span, q)
+        score = prior_score + jnp.where(cvis > 0, qn, 0.0)
+        score = jnp.where((current == 0) & ~legal, -jnp.inf, score)
+
+        if tie_jitter > 0:
+            bits = pltpu.prng_random_bits((B, A))
+            score = score + bits.astype(jnp.float32) * (
+                tie_jitter / 4.2949673e9
+            )
+        # First-index argmax (Mosaic argmax picks the LAST max on ties).
+        m = jnp.max(score, axis=1, keepdims=True)
+        sel = jnp.min(jnp.where(score >= m, iota_A, A), axis=1, keepdims=True)
+
+        path_a = jnp.where((iota_D == t) & (active == 1), sel, path_a)
+
+        if mark_visits:
+            # +1 on the selected edge of every still-active lane (the edge
+            # one-hot = node mask AND action one-hot, float-exact adds).
+            # f32 casts BEFORE the minor-dim inserts: Mosaic only reshapes
+            # 32-bit vectors into new minor dims (i1 reshape is rejected).
+            sel_f = (iota_A == sel).astype(jnp.float32)  # [B, A]
+            act_f = active.astype(jnp.float32)  # [B, 1]
+            e_visit_c = e_visit_c + jnp.where(
+                mask, sel_f[:, :, None] * act_f[:, :, None], 0.0
+            )
+
+        child = row_gather(cchild, sel).astype(jnp.int32)  # [B, 1]
+        hits = active * (child < 0).astype(jnp.int32)
+        parent = jnp.where(hits == 1, current, parent)
+        action = jnp.where(hits == 1, sel, action)
+        active = active * (child >= 0).astype(jnp.int32)
+        current = jnp.where(active == 1, child, current)
+        depth = depth + active
+        path_n = jnp.where((iota_D == (t + 1)) & (active == 1), current, path_n)
+        if mark_visits:
+            return (current, depth, active, parent, action, path_n, path_a,
+                    e_visit_c, t + 1)
+        return current, depth, active, parent, action, path_n, path_a, t + 1
+
+    def cond(state):
+        *_rest, t = state
+        return t < bound  # scalar-only condition; lanes self-mask via active
+
+    col0 = jnp.zeros((B, 1), jnp.int32)
+    one0 = jnp.ones((B, 1), jnp.int32)
+    path_n0 = jnp.where(iota_D == 0, 0, jnp.full((B, D), -1, jnp.int32))
+    path_a0 = jnp.zeros((B, D), jnp.int32)
+    init = (col0, col0, one0, col0, col0, path_n0, path_a0)
+    if mark_visits:
+        out = jax.lax.while_loop(
+            cond, body, init + (e_visit_f, jnp.int32(0))
+        )
+        (_, depth, active, parent, action, path_n, path_a, e_visit_end,
+         _) = out
+        rest[0][:] = e_visit_end.astype(jnp.int32)
+    else:
+        out = jax.lax.while_loop(cond, body, init + (jnp.int32(0),))
+        _, depth, active, parent, action, path_n, path_a, _ = out
+    parent_ref[:] = parent
+    action_ref[:] = action
+    # Truncated-lane marking: see _descend_kernel.
+    depth_ref[:] = jnp.where(active == 1, -1, depth + 1)
     path_n_ref[:] = path_n
     path_a_ref[:] = path_a
 
@@ -232,8 +407,18 @@ def _backprop_kernel(
     *,
     num_players: int,
     discount: float,
-    A: int,
+    stride_n: int,
+    stride_a: int,
+    pre_marked: bool = False,
 ):
+    """Flat-slab backprop; edge (node, action) sits at flat index
+    node*stride_n + action*stride_a — (A, 1) for the node-major [B, N*A]
+    layout, (1, N) for the planar action-major [B, A*N] layout.
+
+    pre_marked (multi-leaf rounds): visit counts along the path and at the
+    root were already incremented by in-descend virtual marking — only
+    value sums are folded in, and the gathered counts are taken as the
+    post-update denominators."""
     B, NA = e_visit_in_ref.shape
     path_n = path_n_ref[:]
     path_a = path_a_ref[:]
@@ -269,7 +454,7 @@ def _backprop_kernel(
         # (path_n[t-1], path_a[t-1]); the root keeps explicit scalars.
         en = row_gather(path_n, jnp.maximum(t - 1, 0))
         ea = row_gather(path_a, jnp.maximum(t - 1, 0))
-        eidx = en * A + ea
+        eidx = en * stride_n + ea * stride_a
         gmask = iota_NA == eidx
         ev_old = jnp.sum(
             jnp.where(gmask, e_visit.astype(jnp.float32), 0.0),
@@ -280,14 +465,16 @@ def _backprop_kernel(
 
         emask = gmask & on_edge
         e_vsum = e_vsum + jnp.where(emask, delta, 0.0)
-        e_visit = e_visit + emask.astype(jnp.int32)
         rvsum = rvsum + jnp.where(at_root, delta, 0.0)
-        rvis = rvis + at_root.astype(jnp.int32)
+        if not pre_marked:
+            e_visit = e_visit + emask.astype(jnp.int32)
+            rvis = rvis + at_root.astype(jnp.int32)
 
         nval = jnp.where(
             at_root,
             rvsum / jnp.maximum(rvis, 1).astype(jnp.float32),
-            (es_old + delta) / (ev_old + 1.0),
+            (es_old + delta)
+            / (jnp.maximum(ev_old, 1.0) if pre_marked else ev_old + 1.0),
         )
         nrew = jnp.where(at_root, root_reward, erew)
         stat = nrew + discount * sign * nval
@@ -333,12 +520,15 @@ def _backprop_kernel(
     max_out_ref[:] = mx
 
 
-import os
-
-# Per-kernel VMEM budget for choosing the lane block. 8MB default (half of
-# the 16MB VMEM, leaving room for temporaries); override for experiments
-# with MUZERO_PALLAS_VMEM_BUDGET (bytes).
-VMEM_BUDGET = int(os.environ.get("MUZERO_PALLAS_VMEM_BUDGET", 8 * 1024 * 1024))
+# Default per-kernel VMEM budget for choosing the lane block: 12MB of the
+# 16MB scoped VMEM. Calibrated r4 on-chip: at connect4 size (N=201, A=7)
+# the planar descend kernel's Mosaic-reported stack is 10.2MB at block 128
+# (runs; +11% over block 64) and 20.3MB at block 256 (VMEM OOM), so the
+# conservative formulas below sit within ~1.3x of the real footprint.
+# Overridable per-call via MUZERO_PALLAS_VMEM_BUDGET (bytes) — read at CALL
+# time inside fits_vmem so setting the env var after import is honored
+# (ADVICE r3).
+DEFAULT_VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def fits_vmem(B, N, A, budget_bytes=None):
@@ -359,7 +549,9 @@ def fits_vmem(B, N, A, budget_bytes=None):
         return -(-x // 8) * 8
 
     if budget_bytes is None:
-        budget_bytes = VMEM_BUDGET
+        budget_bytes = int(
+            os.environ.get("MUZERO_PALLAS_VMEM_BUDGET", DEFAULT_VMEM_BUDGET)
+        )
     per = B * 4 * (pad(N * A) * 5 + pad(A) + pad(N + 1) * 2 + 8 * pad(1))
     fixed = 4 * pad8(N * A) * pad(A)  # selection matrix
     return 2 * per + fixed < budget_bytes
@@ -448,21 +640,186 @@ def descend(seed, depth_bound, children_index, children_prior, children_visit,
     return parent[:, 0], action[:, 0], depth[:, 0], path_n, path_a
 
 
+def fits_vmem_planar(B, N, A, budget_bytes=None):
+    """VMEM budget check for the planar descend kernel.
+
+    [B, A, N] slabs pad to B * pad8(A) * pad128(N) f32 each; 5 stat slabs
+    stay resident for the whole kernel plus ~3 slab-sized temporaries
+    (one-hot mask + masked operand + iota). The small 2-D arrays (paths,
+    legal, columns) pad over [pad8(B), pad128(cols)].
+    """
+
+    def pad(x):
+        return -(-x // 128) * 128
+
+    def pad8(x):
+        return -(-x // 8) * 8
+
+    if budget_bytes is None:
+        budget_bytes = int(
+            os.environ.get("MUZERO_PALLAS_VMEM_BUDGET", DEFAULT_VMEM_BUDGET)
+        )
+    slab = pad8(A) * pad(N)
+    per = B * 4 * slab * 8  # 5 resident + ~3 temporaries
+    small = 4 * pad8(B) * (2 * pad(A) + 4 * pad(N + 1) + 8 * pad(1))
+    return per + small < budget_bytes
+
+
+def choose_block_planar(B, N, A):
+    """Largest divisor block of B whose planar working set fits VMEM."""
+    block = B
+    while block >= 8:
+        if fits_vmem_planar(block, N, A):
+            return block
+        if block % 2:
+            return None
+        block //= 2
+    return None
+
+
+def fits_vmem_backprop(B, N, A, budget_bytes=None):
+    """VMEM check for the backprop kernel ALONE (big-board games: gomoku's
+    N*A ~ 49k rejects the descend kernels, but backprop carries only
+    3 flat slabs — visit/vsum doubled as loop carries, reward resident —
+    plus 2 path arrays, so it still fits at small lane blocks)."""
+
+    def pad(x):
+        return -(-x // 128) * 128
+
+    def pad8(x):
+        return -(-x // 8) * 8
+
+    if budget_bytes is None:
+        budget_bytes = int(
+            os.environ.get("MUZERO_PALLAS_VMEM_BUDGET", DEFAULT_VMEM_BUDGET)
+        )
+    per = B * 4 * (5 * pad(N * A) + 2 * pad(N + 1) + 8 * pad(1))
+    return per + 4 * pad8(B) * pad(N + 1) < budget_bytes
+
+
+def choose_block_backprop(B, N, A):
+    """Largest divisor block of B whose backprop working set fits VMEM."""
+    block = B
+    while block >= 8:
+        if fits_vmem_backprop(block, N, A):
+            return block
+        if block % 2:
+            return None
+        block //= 2
+    return None
+
+
 @functools.partial(
-    jax.jit, static_argnames=("num_players", "discount", "interpret")
+    jax.jit,
+    static_argnames=("num_players", "pb_c_base", "pb_c_init", "discount",
+                     "A", "max_depth", "tie_jitter", "interpret",
+                     "mark_visits"),
+)
+def descend_planar(seed, depth_bound, children_index, children_prior,
+                   children_visit, children_vsum, children_reward, root_legal,
+                   min_value, max_value, *, num_players, pb_c_base, pb_c_init,
+                   discount, A, max_depth, tie_jitter=TIE_JITTER,
+                   interpret=False, mark_visits=False):
+    """Planar-slab fused descent: children_* are [B, A, N] action-major
+    slabs. Same contract/outputs as descend(); with mark_visits=True the
+    return gains a 6th element — children_visit with +1 on every traversed
+    edge (virtual-visit marking for multi-leaf rounds, slab aliased
+    in-place)."""
+    B, A_, N = children_index.shape
+    assert A_ == A
+    D = max_depth + 1
+    block = choose_block_planar(B, N, A) or B
+    grid = B // block
+    kernel = functools.partial(
+        _descend_kernel_planar,
+        num_players=num_players, pb_c_base=pb_c_base, pb_c_init=pb_c_init,
+        discount=discount, A=A, max_depth=D, tie_jitter=tie_jitter,
+        mark_visits=mark_visits,
+    )
+
+    def bspec(cols):
+        return pl.BlockSpec(
+            (block, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    def bspec3():
+        return pl.BlockSpec(
+            (block, A, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        jax.ShapeDtypeStruct((B, D), jnp.int32),
+        jax.ShapeDtypeStruct((B, D), jnp.int32),
+    ]
+    out_specs = [bspec(1), bspec(1), bspec(1), bspec(D), bspec(D)]
+    aliases = {}
+    if mark_visits:
+        out_shape.append(jax.ShapeDtypeStruct((B, A, N), jnp.int32))
+        out_specs.append(bspec3())
+        aliases = {3: 5}  # children_visit operand -> marked-visit output
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        out_shape=tuple(out_shape),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            bspec3(), bspec3(), bspec3(), bspec3(), bspec3(),
+            bspec(A), bspec(1), bspec(1),
+        ],
+        out_specs=tuple(out_specs),
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(
+        jnp.stack([jnp.asarray(seed, jnp.int32),
+                   jnp.asarray(depth_bound, jnp.int32)]),
+        children_index,
+        children_prior,
+        children_visit,
+        children_vsum,
+        children_reward,
+        root_legal.astype(jnp.int32),
+        min_value[:, None],
+        max_value[:, None],
+    )
+    parent, action, depth, path_n, path_a = outs[:5]
+    ret = (parent[:, 0], action[:, 0], depth[:, 0], path_n, path_a)
+    if mark_visits:
+        ret = ret + (outs[5],)
+    return ret
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_players", "discount", "interpret", "planar", "pre_marked"
+    ),
 )
 def backprop(path_nodes, path_actions, leaf_depth, leaf_value,
              children_visit, children_vsum, children_reward,
              root_visit, root_vsum, root_reward, min_value, max_value, *,
-             num_players, discount, interpret=False):
+             num_players, discount, interpret=False, planar=False,
+             pre_marked=False):
     """Fused backprop. Returns updated (children_visit, children_vsum,
-    root_visit, root_vsum, min, max)."""
-    B, N, A = children_visit.shape
+    root_visit, root_vsum, min, max).
+
+    planar: the children_* arrays are [B, A, N] action-major slabs (the
+    planar descend layout); outputs keep that layout."""
+    if planar:
+        B, A, N = children_visit.shape
+        strides = {"stride_n": 1, "stride_a": N}
+    else:
+        B, N, A = children_visit.shape
+        strides = {"stride_n": A, "stride_a": 1}
     D = path_nodes.shape[1]
-    block = choose_block(B, N, A) or B
+    block = choose_block_backprop(B, N, A) or B
     grid = B // block
     kernel = functools.partial(
-        _backprop_kernel, num_players=num_players, discount=discount, A=A
+        _backprop_kernel, num_players=num_players, discount=discount,
+        pre_marked=pre_marked, **strides
     )
 
     def bspec(cols):
@@ -509,8 +866,8 @@ def backprop(path_nodes, path_actions, leaf_depth, leaf_value,
         max_value[:, None],
     )
     return (
-        evis2.reshape(B, N, A),
-        evsum2.reshape(B, N, A),
+        evis2.reshape(children_visit.shape),
+        evsum2.reshape(children_visit.shape),
         rvis2[:, 0],
         rvsum2[:, 0],
         mn2[:, 0],

@@ -116,6 +116,15 @@ class SelfPlayDriver:
                 config,
                 interpret=bool(getattr(config, "pallas_interpret", False)),
             )
+        # BN folding for the search path (ResNet only): the batch norms are
+        # folded into conv weights ONCE per play chunk, so each of the
+        # num_simulations recurrent inferences per move runs conv+relu with
+        # no separate normalization pass (~half the per-sim ResNet ops were
+        # latency-bound BN/relu fusions — r3 profile, CLAUDE.md backlog).
+        self.fold_bn = (
+            bool(getattr(config, "fold_bn_inference", True))
+            and runner.folded_module is not None
+        )
         self.A = env.num_actions
         n = config.stacked_observations
         c, h, w = env.observation_shape
@@ -145,6 +154,13 @@ class SelfPlayDriver:
         v_legal = jax.vmap(env.legal_actions_mask)
         v_to_play = jax.vmap(env.to_play)
 
+        if self.fold_bn:
+            infer_initial = runner.initial_inference_folded
+            infer_recurrent = runner.recurrent_inference_folded
+        else:
+            infer_initial = runner.initial_inference
+            infer_recurrent = runner.recurrent_inference
+
         def init_carry(rng_shards):
             k0, k1 = jax.random.split(rng_shards[0])
             states = v_reset(jax.random.split(k0, Gl))
@@ -167,8 +183,8 @@ class SelfPlayDriver:
                 # so "hot" = the search's chosen action and "cold" (eval /
                 # past temperature_threshold) = argmax improved policy.
                 out = gumbel_ops.run_gumbel_mcts(
-                    lambda o: runner.initial_inference(variables, o),
-                    lambda h, a: runner.recurrent_inference(variables, h, a),
+                    lambda o: infer_initial(variables, o),
+                    lambda h, a: infer_recurrent(variables, h, a),
                     stacked, legal, to_play, k_mcts, self.gumbel_spec,
                     add_gumbel=add_noise,
                 )
@@ -183,14 +199,14 @@ class SelfPlayDriver:
             else:
                 if self.use_fused:
                     out = mcts_fused.run_mcts_fused(
-                        lambda o: runner.initial_inference(variables, o),
+                        lambda o: infer_initial(variables, o),
                         variables, stacked, legal, to_play, k_mcts,
                         self.fused_spec, add_exploration_noise=add_noise,
                     )
                 else:
                     out = mcts_ops.run_mcts(
-                        lambda o: runner.initial_inference(variables, o),
-                        lambda h, a: runner.recurrent_inference(variables, h, a),
+                        lambda o: infer_initial(variables, o),
+                        lambda h, a: infer_recurrent(variables, h, a),
                         stacked, legal, to_play, k_mcts, spec,
                         add_exploration_noise=add_noise,
                     )
@@ -254,6 +270,11 @@ class SelfPlayDriver:
             )
 
         def play_chunk(variables, carry, temperature, num_moves, add_noise):
+            if self.fold_bn:
+                # Fold once per chunk (tiny, params-sized) so every
+                # simulation of every move runs the BN-free variant.
+                variables = runner.fold_variables(variables)
+
             def body(carry, _):
                 return one_move(variables, carry, temperature, add_noise)
 

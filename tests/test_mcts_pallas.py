@@ -117,3 +117,50 @@ def test_fits_vmem():
     # gomoku-scale: the edge slabs (N*A ≈ 49k) can never fit — XLA path
     assert not fits_vmem(8, 401, 121)
     assert choose_block(256, 401, 121) is None
+
+
+@pytest.mark.parametrize("num_players", [1, 2])
+def test_backprop_only_pallas_matches_xla(num_players):
+    """use_pallas_backprop (big-board mode: XLA descend + in-VMEM backprop,
+    gomoku-scale trees) must match the all-XLA search exactly."""
+    A, sims, B = 3, 16, 6
+    initial_fn, recurrent_fn = _mock_fns(A)
+    legal = np.ones((B, A), bool)
+    legal[2, 1] = False
+    obs = jnp.zeros((B, 4))
+    to_play = jnp.zeros((B,), jnp.int32)
+    rng = jax.random.PRNGKey(5)
+
+    def run(backprop_pallas):
+        spec = M.SearchSpec(
+            num_simulations=sims,
+            num_players=num_players,
+            pb_c_base=19652.0,
+            pb_c_init=1.25,
+            discount=0.98,
+            dirichlet_alpha=0.25,
+            exploration_fraction=0.25,
+            support_size=5,
+            max_depth=sims,
+            deterministic_tie_break=True,
+            use_pallas=False,
+            pallas_interpret=backprop_pallas,
+            use_pallas_backprop=backprop_pallas,
+        )
+        return M.run_mcts(
+            initial_fn, recurrent_fn, obs, jnp.asarray(legal), to_play,
+            rng, spec, add_exploration_noise=False,
+        )
+
+    out_x = run(False)
+    out_p = run(True)
+    np.testing.assert_array_equal(
+        np.asarray(out_x.root_visit_counts), np.asarray(out_p.root_visit_counts)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_x.root_value), np.asarray(out_p.root_value), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_x.tree.max_value), np.asarray(out_p.tree.max_value),
+        rtol=1e-5,
+    )

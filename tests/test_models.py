@@ -117,3 +117,75 @@ def test_batch_stats_update_in_train_mode():
         not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after)
     )
     assert changed
+
+
+def test_bn_folding_matches_unfolded():
+    """BN-folded inference (models/network.py fold_bn_variables) equals the
+    running-stats inference path up to float reassociation — the folded
+    variant is what the self-play search runs (selfplay.py fold_bn)."""
+    from muzero_general_tpu.config import load_game_module
+
+    cfg = load_game_module("connect4").MuZeroConfig()
+    runner = MuZeroNetwork(cfg)
+    v = runner.init(jax.random.PRNGKey(0))
+
+    # Perturb the running stats so folding is non-trivial (fresh init has
+    # mean=0 var=1, which folding maps through almost unchanged).
+    def bump(d):
+        for s in d.values():
+            if "mean" in s:
+                s["mean"] = s["mean"] + 0.3
+                s["var"] = s["var"] * 1.7 + 0.1
+            else:
+                bump(s)
+
+    bump(v["batch_stats"])
+    rng = np.random.default_rng(0)
+    obs = rng.normal(size=(4,) + runner.stacked_observation_shape()).astype(
+        np.float32
+    )
+    act = jnp.asarray([0, 1, 2, 3], jnp.int32)
+
+    fv = runner.fold_variables(v)
+    # No BatchNorm params remain anywhere in the folded tree.
+    flat = jax.tree_util.tree_flatten_with_path(fv)[0]
+    assert not any("BatchNorm" in str(path) for path, _ in flat)
+
+    ref = runner.initial_inference(v, jnp.asarray(obs))
+    out = runner.initial_inference_folded(fv, jnp.asarray(obs))
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    ref2 = runner.recurrent_inference(v, ref[3], act)
+    out2 = runner.recurrent_inference_folded(fv, ref[3], act)
+    for a, b in zip(ref2, out2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_bn_folding_downsample_resnet():
+    """Folding covers the downsample pyramid's blocks too (atari config)."""
+    cfg = MuZeroConfig()
+    cfg.network = "resnet"
+    cfg.observation_shape = (3, 32, 32)
+    cfg.stacked_observations = 1
+    cfg.action_space = list(range(4))
+    cfg.players = [0]
+    cfg.blocks = 1
+    cfg.channels = 8
+    cfg.reduced_channels_reward = 2
+    cfg.reduced_channels_value = 2
+    cfg.reduced_channels_policy = 2
+    cfg.resnet_fc_reward_layers = [8]
+    cfg.resnet_fc_value_layers = [8]
+    cfg.resnet_fc_policy_layers = [8]
+    cfg.support_size = 5
+    cfg.downsample = "resnet"
+    runner = MuZeroNetwork(cfg)
+    v = runner.init(jax.random.PRNGKey(1))
+    fv = runner.fold_variables(v)
+    obs = np.random.default_rng(1).normal(
+        size=(2,) + runner.stacked_observation_shape()
+    ).astype(np.float32)
+    ref = runner.initial_inference(v, jnp.asarray(obs))
+    out = runner.initial_inference_folded(fv, jnp.asarray(obs))
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

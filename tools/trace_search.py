@@ -19,9 +19,15 @@ from collections import defaultdict
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--game", default="connect4",
+                    help="game module for config (connect4, gomoku, ...)")
     ap.add_argument("--games", type=int, default=256)
     ap.add_argument("--sims", type=int, default=200)
     ap.add_argument("--pallas", type=int, default=1)
+    ap.add_argument("--fold", type=int, default=0,
+                    help="use the BN-folded inference variant (selfplay path)")
+    ap.add_argument("--batch-leaves", type=int, default=1,
+                    help="multi-leaf rounds (search_batch_leaves)")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--keep", default=None, help="keep trace dir here")
     args = ap.parse_args()
@@ -30,11 +36,11 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from muzero_general_tpu.games.connect4 import MuZeroConfig
+    from muzero_general_tpu.config import load_game_module
     from muzero_general_tpu.models import MuZeroNetwork
     from muzero_general_tpu.ops import mcts as mcts_ops
 
-    cfg = MuZeroConfig()
+    cfg = load_game_module(args.game).MuZeroConfig()
     cfg.num_simulations = args.sims
     B = args.games
     A = len(cfg.action_space)
@@ -45,15 +51,23 @@ def main():
     to_play = jnp.zeros((B,), jnp.int32)
     rng = jax.random.PRNGKey(1)
 
+    cfg.search_batch_leaves = args.batch_leaves
     spec = mcts_ops.SearchSpec.from_config(cfg, batch_size=B)._replace(
         use_pallas=bool(args.pallas)
     )
 
     @jax.jit
     def run_full(variables, obs, rng):
+        if args.fold:
+            variables = runner.fold_variables(variables)
+            init_fn = runner.initial_inference_folded
+            rec_fn = runner.recurrent_inference_folded
+        else:
+            init_fn = runner.initial_inference
+            rec_fn = runner.recurrent_inference
         out = mcts_ops.run_mcts(
-            lambda o: runner.initial_inference(variables, o),
-            lambda h, a: runner.recurrent_inference(variables, h, a),
+            lambda o: init_fn(variables, o),
+            lambda h, a: rec_fn(variables, h, a),
             obs, legal, to_play, rng, spec,
         )
         return out.root_visit_counts
