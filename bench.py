@@ -162,7 +162,7 @@ def measure_reference_pattern(num_moves=30, num_simulations=50):
 
 def measure_resnet(num_games=256, num_moves=4, dtype="bfloat16",
                    peak_tflops=PEAK_TFLOPS_BF16, train_reps=6,
-                   batch_leaves=1):
+                   batch_leaves=1, bf16_acts=False):
     """Board-game lane: connect4 shipped config (ResNet 3x64, 200 sims).
 
     batch_leaves > 1 measures the OPT-IN multi-leaf search
@@ -182,6 +182,7 @@ def measure_resnet(num_games=256, num_moves=4, dtype="bfloat16",
     cfg.selfplay_chunk_moves = num_moves
     cfg.compute_dtype = dtype
     cfg.search_batch_leaves = batch_leaves
+    cfg.search_bf16_activations = bf16_acts
 
     env = make_env()
     runner = MuZeroNetwork(cfg)
@@ -197,6 +198,8 @@ def measure_resnet(num_games=256, num_moves=4, dtype="bfloat16",
     sp_steps_per_s = stats["env_steps"] / dt
     expansions_per_s = sp_steps_per_s * cfg.num_simulations
     extra = {"search_batch_leaves": batch_leaves} if batch_leaves > 1 else {}
+    if bf16_acts:
+        extra["search_bf16_activations"] = True
 
     # ---- training step throughput + MFU ---------------------------------
     M = 8
@@ -402,6 +405,11 @@ def main():
         help="resnet lane: opt-in multi-leaf search (search_batch_leaves)",
     )
     ap.add_argument(
+        "--bf16-acts", action="store_true",
+        help="resnet lane: bf16 activations/hidden store in the folded "
+        "search pipeline (search_bf16_activations)",
+    )
+    ap.add_argument(
         "--remeasure-baseline", action="store_true",
         help="re-run the torch reference-pattern loop instead of the pinned "
         f"denominator ({PINNED_BASELINE_STEPS_PER_S} steps/s)",
@@ -469,6 +477,7 @@ def main():
             dtype=args.dtype,
             peak_tflops=args.peak_tflops,
             batch_leaves=args.batch_leaves,
+            bf16_acts=args.bf16_acts,
         )
         if args.verbose:
             print(f"# resnet lane: {r}", file=sys.stderr)

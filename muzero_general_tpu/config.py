@@ -180,6 +180,11 @@ class MuZeroConfig:
         # float reassociation (ULP-tested); folding runs once per play
         # chunk, the per-simulation recurrent inference loses every BN pass.
         self.fold_bn_inference = True
+        # Run the folded search pipeline's activations + hidden store in
+        # bfloat16 (halves the bytes of the bandwidth-bound conv-epilogue
+        # passes and the node-major hidden store). Search-quality impact is
+        # ~bf16 rounding of values/priors; opt-in, measured in RESULTS.md.
+        self.search_bf16_activations = False
         # Gumbel MuZero root action selection (ops/gumbel.py, Danihelka et
         # al. ICLR 2022): sequential-halving root search + improved-policy
         # targets — the same policy improvement with far fewer simulations

@@ -24,10 +24,16 @@ def _uniform_init(bound):
 
 
 class TorchDense(nn.Module):
-    """Dense layer with torch.nn.Linear default init."""
+    """Dense layer with torch.nn.Linear default init.
+
+    out_dtype: activation dtype of the OUTPUT (default f32 — heads/losses
+    and BN want full precision). The bf16-activation inference variant
+    (models/resnet.py act_dtype) passes bf16 to halve the bandwidth of the
+    elementwise passes between matmuls."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    out_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -39,7 +45,7 @@ class TorchDense(nn.Module):
         # mixed precision; the TPU MXU accumulates bf16 products in f32
         # internally, the output is upcast for heads/losses.
         y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
-        return y.astype(jnp.float32) + bias
+        return y.astype(self.out_dtype) + bias.astype(self.out_dtype)
 
 
 class MLP(nn.Module):
@@ -57,7 +63,8 @@ class MLP(nn.Module):
 
 
 class TorchConv(nn.Module):
-    """NHWC conv with torch.nn.Conv2d default init."""
+    """NHWC conv with torch.nn.Conv2d default init (out_dtype: see
+    TorchDense)."""
 
     features: int
     kernel_size: Sequence[int] = (3, 3)
@@ -65,6 +72,7 @@ class TorchConv(nn.Module):
     padding: int = 1
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    out_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -83,10 +91,10 @@ class TorchConv(nn.Module):
             window_strides=tuple(self.strides),
             padding=pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ).astype(jnp.float32)
+        ).astype(self.out_dtype)
         if self.use_bias:
             bias = self.param("bias", _uniform_init(bound), (self.features,))
-            y = y + bias
+            y = y + bias.astype(self.out_dtype)
         return y
 
 
@@ -114,6 +122,9 @@ class ResidualBlock(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
     fold_bn: bool = False
+    # Activation dtype of the folded variant (bf16 halves the bandwidth of
+    # the conv-epilogue elementwise passes and the search hidden store).
+    act_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -121,14 +132,14 @@ class ResidualBlock(nn.Module):
             assert not train, "fold_bn is an inference-only variant"
             out = TorchConv(
                 self.channels, kernel_size=(3, 3), padding=1, use_bias=True,
-                dtype=self.dtype,
+                dtype=self.dtype, out_dtype=self.act_dtype,
             )(x)
             out = jax.nn.relu(out)
             out = TorchConv(
                 self.channels, kernel_size=(3, 3), padding=1, use_bias=True,
-                dtype=self.dtype,
+                dtype=self.dtype, out_dtype=self.act_dtype,
             )(out)
-            return jax.nn.relu(out + x)
+            return jax.nn.relu(out + x.astype(self.act_dtype))
         out = conv3x3(self.channels, dtype=self.dtype)(x)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9)(out)
         out = jax.nn.relu(out)

@@ -75,8 +75,17 @@ class NetworkRunner:
         self.config = config
         # Inference-only BN-folded twin (ResNet only): same architecture
         # with fold_bn=True; apply with fold_bn_variables(variables).
+        # config.search_bf16_activations additionally runs its conv
+        # pipeline + hidden states in bf16 (bandwidth; heads stay f32).
         self.folded_module = (
-            module.clone(fold_bn=True)
+            module.clone(
+                fold_bn=True,
+                act_dtype=(
+                    jnp.bfloat16
+                    if getattr(config, "search_bf16_activations", False)
+                    else jnp.float32
+                ),
+            )
             if isinstance(module, ResMuZero)
             else None
         )

@@ -45,6 +45,7 @@ class DownSampleResnet(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
     fold_bn: bool = False
+    act_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -57,7 +58,7 @@ class DownSampleResnet(nn.Module):
             dtype=self.dtype,
         )(x)
         for _ in range(2):
-            x = ResidualBlock(self.out_channels // 2, dtype=self.dtype, fold_bn=self.fold_bn)(x, train)
+            x = ResidualBlock(self.out_channels // 2, dtype=self.dtype, fold_bn=self.fold_bn, act_dtype=self.act_dtype)(x, train)
         x = TorchConv(
             self.out_channels,
             kernel_size=(3, 3),
@@ -67,10 +68,10 @@ class DownSampleResnet(nn.Module):
             dtype=self.dtype,
         )(x)
         for _ in range(3):
-            x = ResidualBlock(self.out_channels, dtype=self.dtype, fold_bn=self.fold_bn)(x, train)
+            x = ResidualBlock(self.out_channels, dtype=self.dtype, fold_bn=self.fold_bn, act_dtype=self.act_dtype)(x, train)
         x = nn.avg_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for _ in range(3):
-            x = ResidualBlock(self.out_channels, dtype=self.dtype, fold_bn=self.fold_bn)(x, train)
+            x = ResidualBlock(self.out_channels, dtype=self.dtype, fold_bn=self.fold_bn, act_dtype=self.act_dtype)(x, train)
         x = nn.avg_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         return x
 
@@ -114,6 +115,7 @@ class RepresentationResnet(nn.Module):
     downsample: object
     dtype: jnp.dtype = jnp.float32
     fold_bn: bool = False
+    act_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -124,7 +126,8 @@ class RepresentationResnet(nn.Module):
         if self.downsample:
             if self.downsample == "resnet":
                 x = DownSampleResnet(
-                    self.num_channels, dtype=self.dtype, fold_bn=self.fold_bn
+                    self.num_channels, dtype=self.dtype,
+                    fold_bn=self.fold_bn, act_dtype=self.act_dtype,
                 )(x, train)
             elif self.downsample == "CNN":
                 x = DownsampleCNN(
@@ -143,13 +146,14 @@ class RepresentationResnet(nn.Module):
                 x = TorchConv(
                     self.num_channels, kernel_size=(3, 3), padding=1,
                     use_bias=True, dtype=self.dtype,
+                    out_dtype=self.act_dtype,
                 )(x)
             else:
                 x = conv3x3(self.num_channels, dtype=self.dtype)(x)
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
             x = jax.nn.relu(x)
         for _ in range(self.num_blocks):
-            x = ResidualBlock(self.num_channels, dtype=self.dtype, fold_bn=self.fold_bn)(x, train)
+            x = ResidualBlock(self.num_channels, dtype=self.dtype, fold_bn=self.fold_bn, act_dtype=self.act_dtype)(x, train)
         return x
 
 
@@ -164,6 +168,7 @@ class DynamicsResnet(nn.Module):
     block_output_size_reward: int
     dtype: jnp.dtype = jnp.float32
     fold_bn: bool = False
+    act_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -171,13 +176,14 @@ class DynamicsResnet(nn.Module):
             x = TorchConv(
                 self.num_channels - 1, kernel_size=(3, 3), padding=1,
                 use_bias=True, dtype=self.dtype,
+                out_dtype=self.act_dtype,
             )(x)
         else:
             x = conv3x3(self.num_channels - 1, dtype=self.dtype)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
         x = jax.nn.relu(x)
         for _ in range(self.num_blocks):
-            x = ResidualBlock(self.num_channels - 1, dtype=self.dtype, fold_bn=self.fold_bn)(x, train)
+            x = ResidualBlock(self.num_channels - 1, dtype=self.dtype, fold_bn=self.fold_bn, act_dtype=self.act_dtype)(x, train)
         state = x
         r = TorchConv(
             self.reduced_channels_reward,
@@ -203,11 +209,12 @@ class PredictionResnet(nn.Module):
     full_support_size: int
     dtype: jnp.dtype = jnp.float32
     fold_bn: bool = False
+    act_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for _ in range(self.num_blocks):
-            x = ResidualBlock(self.num_channels, dtype=self.dtype, fold_bn=self.fold_bn)(x, train)
+            x = ResidualBlock(self.num_channels, dtype=self.dtype, fold_bn=self.fold_bn, act_dtype=self.act_dtype)(x, train)
         v = TorchConv(
             self.reduced_channels_value, kernel_size=(1, 1), padding=0, dtype=self.dtype
         )(x)
@@ -245,6 +252,10 @@ class ResMuZero(nn.Module):
     # models.network.fold_bn_variables (the search path's per-simulation
     # recurrent inference loses the BN elementwise passes entirely).
     fold_bn: bool = False
+    # Activation dtype of the folded variant's conv pipeline (bf16 halves
+    # the bytes of the bandwidth-bound epilogue passes + the hidden store;
+    # heads still emit f32 logits). f32 unless config.search_bf16_activations.
+    act_dtype: jnp.dtype = jnp.float32
 
     @property
     def full_support_size(self):
@@ -268,6 +279,7 @@ class ResMuZero(nn.Module):
             self.downsample,
             dtype=self.dtype,
             fold_bn=self.fold_bn,
+            act_dtype=self.act_dtype,
         )
         self.dynamics_network = DynamicsResnet(
             self.num_blocks,
@@ -278,6 +290,7 @@ class ResMuZero(nn.Module):
             self.reduced_channels_reward * h * w,
             dtype=self.dtype,
             fold_bn=self.fold_bn,
+            act_dtype=self.act_dtype,
         )
         self.prediction_network = PredictionResnet(
             self.action_space_size,
@@ -290,6 +303,7 @@ class ResMuZero(nn.Module):
             self.full_support_size,
             dtype=self.dtype,
             fold_bn=self.fold_bn,
+            act_dtype=self.act_dtype,
         )
 
     def representation(self, observation, train: bool = False):

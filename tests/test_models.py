@@ -189,3 +189,28 @@ def test_bn_folding_downsample_resnet():
     out = runner.initial_inference_folded(fv, jnp.asarray(obs))
     for a, b in zip(ref, out):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_bf16_activation_variant_close():
+    """search_bf16_activations: the bf16-activation folded pipeline tracks
+    the f32 path within bf16 rounding (policy/value logits still f32)."""
+    from muzero_general_tpu.config import load_game_module
+
+    cfg = load_game_module("connect4").MuZeroConfig()
+    cfg.search_bf16_activations = True
+    runner = MuZeroNetwork(cfg)
+    v = runner.init(jax.random.PRNGKey(0))
+    fv = runner.fold_variables(v)
+    obs = np.random.default_rng(2).normal(
+        size=(4,) + runner.stacked_observation_shape()
+    ).astype(np.float32)
+    ref = runner.initial_inference(v, jnp.asarray(obs))
+    out = runner.initial_inference_folded(fv, jnp.asarray(obs))
+    assert out[3].dtype == jnp.bfloat16  # hidden store dtype halved
+    for a, b in zip(ref[:3], out[:3]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b, np.float32), atol=0.15, rtol=0.05
+        )
+    r2 = runner.recurrent_inference_folded(fv, out[3], jnp.asarray([0, 1, 2, 3]))
+    assert r2[3].dtype == jnp.bfloat16
+    assert all(np.isfinite(np.asarray(x, np.float32)).all() for x in r2)

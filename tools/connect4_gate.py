@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--ratio", type=float, default=0.35)
     ap.add_argument("--games", type=int, default=256)
     ap.add_argument("--out", default="/tmp/c4_gate")
+    ap.add_argument("--batch-leaves", type=int, default=1,
+                    help="search_batch_leaves for the K>1 learning check")
     ap.add_argument("--fresh", action="store_true")
     args = ap.parse_args()
 
@@ -51,6 +53,7 @@ def main():
             # muzero_reward curve (the default every-4-loops cadence gives
             # too few points on a fast chip-bound run).
             "eval_interval_loops": 1,
+            "search_batch_leaves": args.batch_leaves,
         },
     )
     t0 = time.time()

@@ -69,22 +69,36 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=12000)
     ap.add_argument("--tests", type=int, default=5)
+    ap.add_argument("--seeds", type=int, default=1)
     args = ap.parse_args()
 
     milestones = [args.steps // 4 * (i + 1) for i in range(4)]
     table = []
     for det in (True, False):
         label = "deterministic (reference engine)" if det else "stochastic"
-        rows, final, wall = run(det, args.steps, args.tests)
-        table.append((label, curve_at(rows, milestones), final, wall))
+        curves, finals, walls = [], [], 0.0
+        for seed in range(args.seeds):
+            rows, final, wall = run(det, args.steps, args.tests, seed=seed)
+            curves.append(curve_at(rows, milestones))
+            finals.append(final)
+            walls += wall
+        mean_curve = [sum(c[i] for c in curves) / len(curves)
+                      for i in range(len(milestones))]
+        table.append((label, mean_curve, finals, walls / args.seeds))
 
     header = " | ".join(f"@{m}" for m in milestones)
-    print(f"\n| Engine | {header} | final test ({args.tests} games) | wall |")
-    print("|---|" + "---:|" * (len(milestones) + 2))
-    for label, curve, final, wall in table:
+    print(f"\n| Engine | {header} | final test mean ({args.tests} games"
+          f" x {args.seeds} seeds) | per-seed | wall |")
+    print("|---|" + "---:|" * (len(milestones) + 3))
+    for label, curve, finals, wall in table:
         cells = " | ".join(f"{c:.1f}" for c in curve)
-        print(f"| {label} | {cells} | {final:.1f} | {wall:.0f} s |")
-    print("\n(greedy-lane reward, reward/3 scale as the reference's config)")
+        mean_f = sum(finals) / len(finals)
+        spread = (max(finals) - min(finals)) / 2
+        per = ", ".join(f"{x:.0f}" for x in finals)
+        print(f"| {label} | {cells} | {mean_f:.1f} +/- {spread:.1f} "
+              f"| {per} | {wall:.0f} s |")
+    print("\n(milestone cols: greedy-lane reward averaged over seeds, "
+          "reward/3 scale as the reference's config)")
 
 
 if __name__ == "__main__":
