@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--out", default="/tmp/c4_gate")
     ap.add_argument("--batch-leaves", type=int, default=1,
                     help="search_batch_leaves for the K>1 learning check")
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--fresh", action="store_true")
     args = ap.parse_args()
 
@@ -54,6 +55,7 @@ def main():
             # too few points on a fast chip-bound run).
             "eval_interval_loops": 1,
             "search_batch_leaves": args.batch_leaves,
+            "seed": args.seed,
         },
     )
     t0 = time.time()
