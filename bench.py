@@ -249,11 +249,15 @@ def measure_resnet(num_games=256, num_moves=4, dtype="bfloat16",
     }
 
 
-def measure_host(num_games=64, num_moves=16):
+def measure_host(num_games=64, num_moves=16, pipeline=False):
     """Host-path lane: lunarlander (reference games/lunarlander.py:109
     workload) through HostSelfPlayDriver — env transitions on the host,
     batched 50-sim MCTS on device each move. The number that tells whether
-    the host driver is a bottleneck for gym/Box2D/ALE-class games."""
+    the host driver is a bottleneck for gym/Box2D/ALE-class games.
+
+    pipeline=True engages config.host_pipeline (half-fleet double
+    buffering): compare at 2x the serial lane's fleet so each half-batch
+    search is full-size (the search is latency-bound — see config)."""
     import jax
 
     from muzero_general_tpu.games.lunarlander import MuZeroConfig, make_env
@@ -262,6 +266,7 @@ def measure_host(num_games=64, num_moves=16):
 
     cfg = MuZeroConfig()
     cfg.parallel_games = num_games
+    cfg.host_pipeline = pipeline
     runner = MuZeroNetwork(cfg)
     variables = runner.init(jax.random.PRNGKey(0))
     driver = HostSelfPlayDriver(
@@ -316,35 +321,21 @@ def measure_gomoku(num_games=64, num_moves=2, dtype="bfloat16"):
         "lanes": num_games,
         "num_simulations": cfg.num_simulations,
         "use_pallas": driver.spec.use_pallas,
+        "use_stream": getattr(driver.spec, "use_stream", False),
         "dtype": dtype,
     }
 
 
-def measure_atari_train(dtype="bfloat16", peak_tflops=PEAK_TFLOPS_BF16,
-                        batch_size=256, train_reps=4):
-    """Atari-class train step: 16-block x 256-channel downsample ResNet
-    (reference games/atari.py:30-106) at a feasible single-chip batch.
-    This is the FLOPs-heavy workload where MXU utilization is meaningful
-    (connect4's 6x7 convs are latency-bound)."""
+def _atari_batches(cfg, M, B, rng_seed=0):
     import jax
     import numpy as np
 
-    from muzero_general_tpu.games.atari import MuZeroConfig
-    from muzero_general_tpu.models import MuZeroNetwork
-    from muzero_general_tpu.trainer import init_train_state, make_fused_train_steps
-
-    cfg = MuZeroConfig()
-    cfg.compute_dtype = dtype
-    cfg.batch_size = batch_size  # reference: 1024 over a GPU fleet
-    M = 2
-    B, U = cfg.batch_size, cfg.num_unroll_steps
+    U = cfg.num_unroll_steps
     A = len(cfg.action_space)
     c, h, w = cfg.observation_shape
     n = cfg.stacked_observations
     C = c * (n + 1) + n
-
-    runner = MuZeroNetwork(cfg)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(rng_seed)
     batches = {
         "observation": rng.normal(size=(M, B, C, h, w)).astype(np.float32),
         "action": rng.integers(0, A, (M, B, U + 1)).astype(np.int32),
@@ -356,16 +347,79 @@ def measure_atari_train(dtype="bfloat16", peak_tflops=PEAK_TFLOPS_BF16,
         "weight": np.ones((M, B), np.float32),
         "gradient_scale": np.full((M, B, U + 1), U, np.float32),
     }
-    batches = {k: jax.numpy.asarray(v) for k, v in batches.items()}
+    return {k: jax.numpy.asarray(v) for k, v in batches.items()}
+
+
+def _model_flops_per_sample(cfg, dtype, flops_ref_batch=64):
+    """Honest MFU numerator: XLA-counted FLOPs of a NON-rematerialized
+    train step at a small batch, per sample. Remat executables recompute
+    the unroll forward in the backward pass, so their own cost_analysis
+    overcounts useful work; FLOPs are exactly linear in batch, so the
+    non-remat count at a batch that fits scales to any batch. Counted on
+    the SAME backend (TPU and CPU XLA count convs differently)."""
+    import jax
+
+    from muzero_general_tpu.games.atari import MuZeroConfig
+    from muzero_general_tpu.models import MuZeroNetwork
+    from muzero_general_tpu.trainer import init_train_state, make_train_step
+
+    cfg_ref = MuZeroConfig()
+    cfg_ref.compute_dtype = dtype
+    cfg_ref.batch_size = flops_ref_batch
+    cfg_ref.remat_unroll = False
+    runner = MuZeroNetwork(cfg_ref)
+    batches = _atari_batches(cfg_ref, 1, flops_ref_batch)
+    batch = {k: v[0] for k, v in batches.items()}
+    state = init_train_state(runner, cfg_ref, jax.random.PRNGKey(0))
+    step = make_train_step(runner, cfg_ref, donate=False)
+    cost = step.lower(state, batch).compile().cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    return (float(cost.get("flops", 0.0)) if cost else 0.0) / flops_ref_batch
+
+
+def measure_atari_train(dtype="bfloat16", peak_tflops=PEAK_TFLOPS_BF16,
+                        batch_size=256, train_reps=4, remat=True,
+                        honest_flops=True):
+    """Atari-class train step: 16-block x 256-channel downsample ResNet
+    (reference games/atari.py:30-106). The reference ships batch_size=1024
+    (reference games/atari.py:52, over a GPU fleet); with the remat unroll
+    (config.remat_unroll, default) that shape fits one chip's HBM.
+    This is the FLOPs-heavy workload where MXU utilization is meaningful
+    (connect4's 6x7 convs are latency-bound)."""
+    import jax
+
+    from muzero_general_tpu.games.atari import MuZeroConfig
+    from muzero_general_tpu.models import MuZeroNetwork
+    from muzero_general_tpu.trainer import init_train_state, make_fused_train_steps
+
+    cfg = MuZeroConfig()
+    cfg.compute_dtype = dtype
+    cfg.batch_size = batch_size
+    cfg.remat_unroll = remat
+    # Fused dispatches: the M batches live in HBM alongside the step; at
+    # batch 1024 one batch's observations alone are ~4.9 GB, so keep M*B
+    # bounded.
+    M = 2 if batch_size <= 512 else 1
+    B, U = cfg.batch_size, cfg.num_unroll_steps
+    n = cfg.stacked_observations
+
+    runner = MuZeroNetwork(cfg)
+    batches = _atari_batches(cfg, M, B)
     state = init_train_state(runner, cfg, jax.random.PRNGKey(0))
     fused = make_fused_train_steps(runner, cfg)  # donated product path
     compiled = fused.lower(state, batches).compile()
     cost = compiled.cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-    flops_per_dispatch = float(cost.get("flops", 0.0)) if cost else 0.0
+    xla_flops_per_dispatch = float(cost.get("flops", 0.0)) if cost else 0.0
+
+    if honest_flops and remat:
+        model_flops_per_step = _model_flops_per_sample(cfg, dtype) * B
+    else:
+        model_flops_per_step = xla_flops_per_dispatch / M
 
     train_dt = _time_train_dispatches(fused, state, batches, train_reps)
-    achieved_tflops = flops_per_dispatch / train_dt / 1e12
+    achieved_tflops = model_flops_per_step * M / train_dt / 1e12
+    xla_tflops = xla_flops_per_dispatch / train_dt / 1e12
     matmul_peak = measure_matmul_peak()
     return {
         "train_steps_per_s": round(M / train_dt, 3),
@@ -375,9 +429,12 @@ def measure_atari_train(dtype="bfloat16", peak_tflops=PEAK_TFLOPS_BF16,
             achieved_tflops / matmul_peak, 4
         ),
         "measured_matmul_tflops": round(matmul_peak, 1),
-        "flops_per_train_step": flops_per_dispatch / M,
+        "flops_per_train_step": model_flops_per_step,
+        "xla_counted_tflops_incl_remat": round(xla_tflops, 2),
+        "remat_unroll": remat,
         "dtype": dtype,
         "batch_size": B,
+        "fused_steps": M,
         "unroll": U,
         "stacked_observations": n,
     }
@@ -410,6 +467,15 @@ def main():
         "search pipeline (search_bf16_activations)",
     )
     ap.add_argument(
+        "--pipeline", action="store_true",
+        help="host lane: engage host_pipeline double buffering "
+        "(use with --games >= 128)",
+    )
+    ap.add_argument(
+        "--no-remat", action="store_true",
+        help="atari_train lane: disable the remat unroll (config.remat_unroll)",
+    )
+    ap.add_argument(
         "--remeasure-baseline", action="store_true",
         help="re-run the torch reference-pattern loop instead of the pinned "
         f"denominator ({PINNED_BASELINE_STEPS_PER_S} steps/s)",
@@ -419,7 +485,7 @@ def main():
     if args.lane == "atari_train":
         r = measure_atari_train(
             dtype=args.dtype, peak_tflops=args.peak_tflops,
-            batch_size=args.games or 256,
+            batch_size=args.games or 256, remat=not args.no_remat,
         )
         if args.verbose:
             print(f"# atari train lane: {r}", file=sys.stderr)
@@ -436,7 +502,8 @@ def main():
         return
 
     if args.lane == "host":
-        r = measure_host(num_games=args.games or 64, num_moves=args.moves or 16)
+        r = measure_host(num_games=args.games or 64, num_moves=args.moves or 16,
+                         pipeline=args.pipeline)
         if args.verbose:
             print(f"# host lane: {r}", file=sys.stderr)
         print(

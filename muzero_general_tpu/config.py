@@ -167,6 +167,13 @@ class MuZeroConfig:
         # f32 oracle). Mosaic has no middle tier. Measured per tier in
         # RESULTS.md round 3.
         self.fused_net_precision = "highest"
+        # HBM-streaming descend kernel (ops/mcts_stream.py) for boards whose
+        # trees exceed the VMEM kernels (gomoku: N*A ~ 49k edges/lane): the
+        # whole descent runs as ONE kernel launch streaming per-lane node
+        # rows from a packed HBM slab. "auto" = on for real accelerator
+        # backends when the planar kernels are VMEM-rejected; True/False
+        # force. Same tie-jitter semantics caveat as use_pallas_mcts.
+        self.use_stream_mcts = "auto"
         # Multi-leaf expansion (sub-tree batching with virtual-visit marks,
         # ops/mcts.py _run_rounds_multileaf): select K leaves per round and
         # evaluate them with ONE recurrent inference — K-fold fewer
@@ -193,6 +200,41 @@ class MuZeroConfig:
         self.gumbel_max_considered_actions = 16
         self.gumbel_c_visit = 50.0
         self.gumbel_c_scale = 1.0
+        # Host-path double buffering (hostplay.HostSelfPlayDriver): split the
+        # env fleet in two halves and overlap host env stepping of one half
+        # with the device search of the other (the reference's host games
+        # serialize env.step after every search). Per-lane semantics are
+        # unchanged (each lane still gets exactly one search per move);
+        # only the dispatch schedule differs. OFF by default: the search is
+        # LATENCY-bound in its sequential simulations, so a half-batch
+        # search costs the same device time as a full one — pipelining pays
+        # only when the fleet is >= 2x the latency-optimal batch (then each
+        # half is a full-size search and host stepping rides free). Measured
+        # r5 (RESULTS): lunarlander 64 envs serial 449 steps/s, 64 pipelined
+        # 216 (2x sequential search), 128 pipelined ~2x serial.
+        self.host_pipeline = False
+        # Device-side replay (ops/device_replay.py): keep the game ring, the
+        # two-level PER sampling, target assembly and priority write-back in
+        # HBM as one jitted program fused with the train steps — the train
+        # inner loop runs with ZERO host data movement. Opt-in, for
+        # small-observation games (the ring stores replay_buffer_size games
+        # padded to max_moves positions — board/classic-control scale, NOT
+        # atari frame stacks). Single-process, unsharded training only; the
+        # host buffer remains the source of truth for persistence/reanalyse.
+        self.device_replay = False
+        # Keep a numbered checkpoint copy (model_<step>.checkpoint) every N
+        # training steps (None = off). The rolling model.checkpoint is
+        # unaffected; numbered snapshots make offline per-interval strength
+        # retests possible (the r4 connect4 late-run regression diagnosis).
+        self.snapshot_interval = None
+        # Rematerialize the train unroll scan body (jax.checkpoint): the
+        # backward pass recomputes each unroll step's forward instead of
+        # storing U steps of residuals, so atari-class shapes fit HBM at the
+        # reference's shipped batch sizes (reference games/atari.py:52 trains
+        # at batch 1024). Numerics unchanged; ~33% extra forward FLOPs on
+        # the unrolled dynamics/prediction, traded for U× less live
+        # activation memory.
+        self.remat_unroll = True
 
     def visit_softmax_temperature_fn(self, trained_steps):
         """Temperature schedule (reference games/cartpole.py:115-128)."""

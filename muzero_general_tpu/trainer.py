@@ -165,6 +165,14 @@ def make_train_step(runner, config, donate=True, jit=True):
             return (hidden_new, batch_stats), (vl, rl, pl, pr)
 
         U = actions.shape[1] - 1
+        if getattr(config, "remat_unroll", True):
+            # Rematerialize each unroll step: without this the scan stores
+            # every conv/BN residual of U dynamics+prediction forwards and
+            # atari-class shapes OOM HBM at batch >=512 (RESULTS r4 train
+            # lane). prevent_cse=False is the documented setting for
+            # checkpoint-inside-scan (the scan body is staged once; CSE
+            # protection only costs compile time).
+            unroll_body = jax.checkpoint(unroll_body, prevent_cse=False)
         xs = (
             jnp.moveaxis(actions[:, 1:], 1, 0),
             jnp.moveaxis(tv_support[:, 1:], 1, 0),
