@@ -37,7 +37,20 @@ class HostSelfPlayDriver:
         self.A = env0.num_actions
         self.obs_shape = tuple(env0.observation_shape)
         self.n = config.stacked_observations
-        self.spec = mcts_ops.SearchSpec.from_config(config, batch_size=self.G)
+        # Pipelined halves dispatch G/2-lane searches; size the spec's
+        # Pallas block gating to the batch the device actually sees.
+        search_batch = (
+            self.G // 2
+            if (
+                bool(getattr(config, "host_pipeline", False))
+                and self.G >= 2
+                and self.G % 2 == 0
+            )
+            else self.G
+        )
+        self.spec = mcts_ops.SearchSpec.from_config(
+            config, batch_size=search_batch
+        )
         self._rng = jax.random.PRNGKey(base_seed)
 
         runner_ref = runner
@@ -118,66 +131,120 @@ class HostSelfPlayDriver:
             else jnp.asarray(x)
         )
 
+    def _dispatch(self, variables, lo, hi, temperature):
+        """Build the [lo:hi) lane slice's inputs and dispatch its search
+        (async — jit returns device futures)."""
+        stacked = self._stacked()[lo:hi]
+        legal = np.stack([e.legal_actions_mask() for e in self.envs[lo:hi]])
+        to_play = np.array(
+            [e.to_play() for e in self.envs[lo:hi]], np.int32
+        )
+        self._rng, k = jax.random.split(self._rng)
+        out = self._search(
+            variables,
+            self._put(stacked),
+            self._put(legal),
+            self._put(to_play),
+            jnp.float32(temperature),
+            k,
+        )
+        return out, to_play
+
+    def _host_phase(self, lo, hi, out, to_play, completed, eval_games):
+        """Consume one half's finished search: select actions, step its envs,
+        record, cut episodes. Returns (pv slice, max depth seen)."""
+        # ONE batched pull for all six outputs: per-array np.asarray pays a
+        # tunnel round-trip each (CLAUDE.md r3 fact; ~ms-class per move).
+        action, greedy, cv, rv, pv, depth = jax.device_get(out)
+        tt = self.config.temperature_threshold
+        if tt:
+            # temperature 0 after the threshold (reference self_play.py:151-157)
+            action = np.where(self._move_count[lo:hi] >= tt, greedy, action)
+        if self.greedy_lanes:
+            lanes = np.arange(lo, hi)
+            action = np.where(lanes < self.greedy_lanes, greedy, action)
+        cv, rv = np.asarray(cv), np.asarray(rv)
+
+        for j, g in enumerate(range(lo, hi)):
+            env = self.envs[g]
+            obs_now = self._obs_hist[g, 0]
+            obs2, reward, done = env.step(int(action[j]))
+            p = self._records[g]
+            p["obs"].append(obs_now)
+            p["act"].append(int(action[j]))
+            p["rew"].append(float(reward))
+            p["tp"].append(int(to_play[j]))
+            p["cv"].append(cv[j])
+            p["rv"].append(float(rv[j]))
+            self._move_count[g] += 1
+            done = done or self._move_count[g] >= self.config.max_moves
+            if done:
+                sink = eval_games if g < self.greedy_lanes else completed
+                sink.append(self._finish(g, env.to_play()))
+                obs2 = env.reset()
+                self._obs_hist[g] = 0
+                self._act_hist[g] = 0
+                self._move_count[g] = 0
+            else:
+                self._obs_hist[g, 1:] = self._obs_hist[g, :-1]
+                self._act_hist[g, 1:] = self._act_hist[g, :-1]
+                self._act_hist[g, 0] = action[j]
+            self._obs_hist[g, 0] = obs2
+        return pv, int(np.asarray(depth).max())
+
     def play(self, variables, temperature: float, num_moves: Optional[int] = None,
              add_noise: bool = True):
         """Same contract as SelfPlayDriver.play: greedy-lane episodes arrive
-        in stats["eval_games"], never in the returned replay list."""
+        in stats["eval_games"], never in the returned replay list.
+
+        Double-buffered schedule (config.host_pipeline, opt-in): the env
+        fleet is split in two halves, and while the device searches one
+        half's batch the host steps the OTHER half's envs and assembles its
+        next inputs — env transition time hides behind device search time
+        instead of strictly alternating with it (the reference's loop, and
+        this driver's pre-r5 loop, serialize the two). Each lane still
+        receives exactly one search per move with the same per-lane
+        semantics; only the dispatch schedule changes.
+        """
         K = num_moves or self.config.selfplay_chunk_moves
         completed = []
         eval_games = []
         max_depth_seen = 0
-        tt = self.config.temperature_threshold
-        for _ in range(K):
-            stacked = self._stacked()
-            legal = np.stack([e.legal_actions_mask() for e in self.envs])
-            to_play = np.array([e.to_play() for e in self.envs], np.int32)
-            self._rng, k = jax.random.split(self._rng)
-            action, greedy, cv, rv, pv, depth = self._search(
-                variables,
-                self._put(stacked),
-                self._put(legal),
-                self._put(to_play),
-                jnp.float32(temperature),
-                k,
-            )
-            action = np.asarray(action)
-            greedy = np.asarray(greedy)
-            if tt:
-                # temperature 0 after the threshold (reference self_play.py:151-157)
-                action = np.where(self._move_count >= tt, greedy, action)
-            if self.greedy_lanes:
-                lanes = np.arange(self.G)
-                action = np.where(lanes < self.greedy_lanes, greedy, action)
-            cv, rv = np.asarray(cv), np.asarray(rv)
-            max_depth_seen = max(max_depth_seen, int(np.asarray(depth).max()))
 
-            for g, env in enumerate(self.envs):
-                obs_now = self._obs_hist[g, 0]
-                obs2, reward, done = env.step(int(action[g]))
-                p = self._records[g]
-                p["obs"].append(obs_now)
-                p["act"].append(int(action[g]))
-                p["rew"].append(float(reward))
-                p["tp"].append(int(to_play[g]))
-                p["cv"].append(cv[g])
-                p["rv"].append(float(rv[g]))
-                self._move_count[g] += 1
-                done = done or self._move_count[g] >= self.config.max_moves
-                if done:
-                    sink = eval_games if g < self.greedy_lanes else completed
-                    sink.append(self._finish(g, env.to_play()))
-                    obs2 = env.reset()
-                    self._obs_hist[g] = 0
-                    self._act_hist[g] = 0
-                    self._move_count[g] = 0
-                else:
-                    self._obs_hist[g, 1:] = self._obs_hist[g, :-1]
-                    self._act_hist[g, 1:] = self._act_hist[g, :-1]
-                    self._act_hist[g, 0] = action[g]
-                self._obs_hist[g, 0] = obs2
+        pipelined = (
+            bool(getattr(self.config, "host_pipeline", False))
+            and self.G >= 2
+            and self.G % 2 == 0
+        )
+        halves = (
+            [(0, self.G // 2), (self.G // 2, self.G)]
+            if pipelined
+            else [(0, self.G)]
+        )
+
+        # Prologue: one in-flight search per half.
+        inflight = [
+            self._dispatch(variables, lo, hi, temperature) for lo, hi in halves
+        ]
+        pv_parts = [None] * len(halves)
+        for m in range(K):
+            for h, (lo, hi) in enumerate(halves):
+                out, to_play = inflight[h]
+                pv, d = self._host_phase(
+                    lo, hi, out, to_play, completed, eval_games
+                )
+                pv_parts[h] = pv
+                max_depth_seen = max(max_depth_seen, d)
+                if m + 1 < K:
+                    # Re-dispatch this half; the device overlaps it with the
+                    # other half's host phase.
+                    inflight[h] = self._dispatch(variables, lo, hi, temperature)
 
         stats = {"env_steps": K * self.G, "max_tree_depth": max_depth_seen,
-                 "pred_values": np.asarray(pv), "eval_games": eval_games}
+                 "pred_values": np.concatenate(
+                     [np.asarray(p) for p in pv_parts]
+                 ),
+                 "eval_games": eval_games}
         if self.greedy_lanes:
             # Running reward of lane 0's in-progress eval episode (records
             # are cleared by _finish, so this is exactly the open episode).

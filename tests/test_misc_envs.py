@@ -231,6 +231,7 @@ def test_hostplay_threshold_matches_selfplay_semantics():
     cfg.selfplay_chunk_moves = 4
     cfg.max_moves = 8
     cfg.temperature_threshold = 0  # greedy from move 0
+    cfg.host_pipeline = False  # serial schedule: exactly one dispatch/move
     runner = MuZeroNetwork(cfg)
     variables = runner.init(jax.random.PRNGKey(0))
 
@@ -250,6 +251,49 @@ def test_hostplay_threshold_matches_selfplay_semantics():
     # greedy actions == argmax of the recorded visit distribution
     for g in range(cfg.parallel_games):
         p = driver._records[g]
+        for cv, a in zip(p["cv"], p["act"]):
+            assert a == int(np.argmax(cv))
+
+
+def test_hostplay_pipeline_per_lane_semantics():
+    """Double-buffered host path (config.host_pipeline): each lane still
+    gets exactly one half-batch search per move (2 half dispatches/move),
+    records stay per-lane consistent, and greedy-threshold semantics hold."""
+    import pytest
+
+    pytest.importorskip("gymnasium")
+    from muzero_general_tpu.games.lunarlander import MuZeroConfig, make_env
+    from muzero_general_tpu.hostplay import HostSelfPlayDriver
+    from muzero_general_tpu.models import MuZeroNetwork
+
+    cfg = MuZeroConfig()
+    cfg.num_simulations = 4
+    cfg.parallel_games = 4
+    cfg.selfplay_chunk_moves = 3
+    cfg.max_moves = 8
+    cfg.temperature_threshold = 0
+    cfg.host_pipeline = True
+    runner = MuZeroNetwork(cfg)
+    variables = runner.init(jax.random.PRNGKey(0))
+
+    driver = HostSelfPlayDriver(make_env, runner, cfg, seed=0)
+    batch_sizes = []
+    orig = driver._search
+
+    def counting_search(variables, stacked, *rest):
+        batch_sizes.append(stacked.shape[0])
+        return orig(variables, stacked, *rest)
+
+    driver._search = counting_search
+    _, stats = driver.play(variables, temperature=1.0)
+    # two half dispatches per move, each covering G/2 lanes
+    assert len(batch_sizes) == 2 * cfg.selfplay_chunk_moves
+    assert all(b == cfg.parallel_games // 2 for b in batch_sizes)
+    assert stats["env_steps"] == cfg.selfplay_chunk_moves * cfg.parallel_games
+    assert stats["pred_values"].shape == (cfg.parallel_games,)
+    for g in range(cfg.parallel_games):
+        p = driver._records[g]
+        assert len(p["act"]) == len(p["cv"]) == len(p["rv"])
         for cv, a in zip(p["cv"], p["act"]):
             assert a == int(np.argmax(cv))
 
