@@ -175,7 +175,8 @@ class MuZero:
         )
 
     # ------------------------------------------------------------------
-    def _reanalyse_sweep(self, replay, reanalyse_fn, variables, place_obs=None):
+    def _reanalyse_sweep(self, replay, reanalyse_fn, variables, place_obs=None,
+                         on_update=None):
         """Batched value refresh (reference Reanalyse actor,
         replay_buffer.py:328-373, re-designed as scheduled device sweeps).
 
@@ -209,6 +210,8 @@ class MuZero:
         off = 0
         for (gid, _), L in zip(picked, lengths):
             replay.update_reanalysed_values(gid, out[off : off + L])
+            if on_update is not None:
+                on_update(gid, out[off : off + L])
             off += L
         return len(picked)
 
@@ -374,6 +377,73 @@ class MuZero:
                 return prefetcher.take(n)
             return [replay.get_batch() for _ in range(n)]
 
+        # ---- device-side replay (opt-in, ops/device_replay.py) -----------
+        # The train inner phase becomes ONE device dispatch: sample M PER
+        # batches from the HBM game ring, M train steps, priorities written
+        # back in-place. Host keeps its buffer for counters, reanalyse and
+        # persistence; completed games are pushed to the ring once per loop.
+        dev_replay_state = None
+        dev_train = None
+        dev_save = None
+        _DEV_K_PAD = 8
+        if (
+            bool(getattr(cfg, "device_replay", False))
+            and n_proc == 1
+            and train_mesh is None
+            and cfg.fused_train_steps
+            and cfg.fused_train_steps > 1
+        ):
+            from muzero_general_tpu.ops import device_replay as dr_lib
+
+            c_, h_, w_ = cfg.observation_shape
+            dev_replay_state = dr_lib.init_replay(
+                int(cfg.replay_buffer_size), int(cfg.max_moves),
+                (c_, h_, w_), len(cfg.action_space),
+            )
+            dev_train = dr_lib.make_device_train(
+                runner, cfg,
+                make_fused_train_steps(runner, cfg, jit=False),
+                max(1, int(cfg.fused_train_steps)),
+            )
+            dev_save = jax.jit(
+                lambda st, games, valid: dr_lib.save_games(
+                    st, games, valid, td_steps=cfg.td_steps,
+                    discount=cfg.discount, per_alpha=cfg.PER_alpha,
+                    use_per=bool(cfg.PER),
+                ),
+                donate_argnums=(0,),
+            )
+            self._dev_rng = jax.random.PRNGKey(cfg.seed + 987654)
+
+            def push_games_to_device(st, games):
+                for chunk, valid in dr_lib.pad_games_np(
+                    games, int(cfg.max_moves), (c_, h_, w_),
+                    len(cfg.action_space), _DEV_K_PAD,
+                ):
+                    st = dev_save(
+                        st,
+                        {k: jnp.asarray(v) for k, v in chunk.items()},
+                        jnp.asarray(valid),
+                    )
+                return st
+
+            _dev_reana = jax.jit(
+                dr_lib.update_reanalysed_values, donate_argnums=(0,)
+            )
+
+            def dev_on_reanalysed(gid, values):
+                # Mirror fresh root values into the HBM ring (stale-guarded
+                # by game id inside).
+                nonlocal dev_replay_state
+                padded = np.zeros((int(cfg.max_moves),), np.float32)
+                padded[: len(values)] = values
+                dev_replay_state = _dev_reana(
+                    dev_replay_state,
+                    jnp.int32(gid % int(cfg.replay_buffer_size)),
+                    jnp.int32(gid),
+                    jnp.asarray(padded),
+                )
+
         S = cfg.support_size
         reanalyse_fn = jax.jit(
             lambda variables, obs: support_to_scalar(
@@ -450,6 +520,10 @@ class MuZero:
                 phase_time["selfplay"] += time.time() - t0
                 for gh in games:
                     replay.save_game(gh)
+                if dev_replay_state is not None and games:
+                    dev_replay_state = push_games_to_device(
+                        dev_replay_state, games
+                    )
 
                 # ---- evaluation (reference test_mode worker) --------------
                 # self/1-player: eval games stream out of the greedy lane.
@@ -516,7 +590,22 @@ class MuZero:
                 while training_step < target and buffer_ready:
                     t0 = time.time()
                     prev_step = training_step
-                    if fused_train is not None and target - training_step >= M > 1:
+                    if (
+                        dev_train is not None
+                        and target - training_step >= M > 1
+                    ):
+                        # Device-replay path: sampling + M train steps +
+                        # PER write-back in ONE dispatch, no host batches.
+                        self._dev_rng, k_dev = jax.random.split(
+                            self._dev_rng
+                        )
+                        phase_time["batch"] += time.time() - t0
+                        t0 = time.time()
+                        dev_replay_state, state, metrics = dev_train(
+                            dev_replay_state, state, k_dev
+                        )
+                        training_step += M
+                    elif fused_train is not None and target - training_step >= M > 1:
                         # Fused path: M batches, ONE device dispatch.
                         parts = next_batches(M)
                         index_batches = [ib for ib, _ in parts]
@@ -568,6 +657,11 @@ class MuZero:
                         n = self._reanalyse_sweep(
                             replay, reanalyse_fn, re_vars,
                             place_obs=place_reanalyse,
+                            on_update=(
+                                dev_on_reanalysed
+                                if dev_replay_state is not None
+                                else None
+                            ),
                         )
                         self.checkpoint["num_reanalysed_games"] += n
                     phase_time["reanalyse"] += time.time() - t0
@@ -594,6 +688,18 @@ class MuZero:
                             self.checkpoint,
                             cfg.results_path / "model.checkpoint",
                         )
+                        si = getattr(cfg, "snapshot_interval", None)
+                        if si and (training_step // si) > (
+                            last_ckpt_step // si
+                        ):
+                            # Numbered snapshot for offline strength retests
+                            # (per-interval regression diagnosis).
+                            step_tag = (training_step // si) * si
+                            ckpt_lib.save_checkpoint(
+                                self.checkpoint,
+                                cfg.results_path
+                                / f"model_{step_tag:06d}.checkpoint",
+                            )
                     last_ckpt_step = training_step
                 phase_time["checkpoint"] += time.time() - t0
 
