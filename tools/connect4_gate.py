@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--batch-leaves", type=int, default=1,
                     help="search_batch_leaves for the K>1 learning check")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--snapshot", type=int, default=None,
+                    help="keep model_<step>.checkpoint every N steps "
+                    "(per-decile regression diagnosis)")
+    ap.add_argument("--override", default=None,
+                    help="extra config overrides as a JSON dict "
+                    "(intervention runs, e.g. '{\"PER\": false}')")
     ap.add_argument("--fresh", action="store_true")
     args = ap.parse_args()
 
@@ -56,6 +62,8 @@ def main():
             "eval_interval_loops": 1,
             "search_batch_leaves": args.batch_leaves,
             "seed": args.seed,
+            "snapshot_interval": args.snapshot,
+            **(json.loads(args.override) if args.override else {}),
         },
     )
     t0 = time.time()

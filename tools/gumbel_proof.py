@@ -19,7 +19,7 @@ import argparse
 import time
 
 
-def run(game, overrides, num_tests, label, seeds=1):
+def run(game, overrides, num_tests, label, seeds=1, opponent=None):
     from muzero_general_tpu.muzero import MuZero
 
     scores, wall = [], 0.0
@@ -29,7 +29,7 @@ def run(game, overrides, num_tests, label, seeds=1):
         mz = MuZero(game, dict(overrides, seed=seed))
         mz.train(log_in_tensorboard=False)
         wall += time.time() - t0
-        scores.append(mz.test(num_tests=num_tests))
+        scores.append(mz.test(num_tests=num_tests, opponent=opponent))
         sims = mz.config.num_simulations
     return {
         "label": label,
@@ -48,18 +48,27 @@ def main():
     ap.add_argument("--tests", type=int, default=10)
     ap.add_argument("--out", default=None, help="results path prefix")
     ap.add_argument("--seeds", type=int, default=1)
+    ap.add_argument("--opponent", default=None,
+                    help="test-time opponent override (e.g. random/expert); "
+                    "default = the game config's opponent")
+    ap.add_argument("--configs", default="puct,gumbel16,gumbel8",
+                    help="comma list of rows to run")
     args = ap.parse_args()
 
     base = {
         "training_steps": args.steps,
         "save_model": False,
     }
+    configs = args.configs.split(",")
     rows = []
-    rows.append(
-        run(args.game, {**base}, args.tests, "pUCT (shipped config)",
-            seeds=args.seeds)
-    )
+    if "puct" in configs:
+        rows.append(
+            run(args.game, {**base}, args.tests, "pUCT (shipped config)",
+                seeds=args.seeds, opponent=args.opponent)
+        )
     for sims in (16, 8):
+        if f"gumbel{sims}" not in configs:
+            continue
         rows.append(
             run(
                 args.game,
@@ -72,6 +81,7 @@ def main():
                 args.tests,
                 f"Gumbel {sims} sims",
                 seeds=args.seeds,
+                opponent=args.opponent,
             )
         )
 
