@@ -125,6 +125,13 @@ class SearchSpec(NamedTuple):
     # virtual-loss artifact: in-flight marks depress pUCT before their
     # values land) for K-fold fewer sequential network dispatches.
     batch_leaves: int = 1
+    # HBM-streaming descend (ops/mcts_stream.py) for trees too big for the
+    # VMEM planar kernels (gomoku class): the whole descent runs as one
+    # kernel streaming per-lane node rows from a packed HBM slab
+    # (~1.5 us/level measured vs ~14 us/level staged XLA), capturing path
+    # stats so the backprop fold is gather-free at any depth. Same
+    # tie-jitter caveat as the other Pallas kernels.
+    use_stream: bool = False
 
     @classmethod
     def from_config(cls, config, batch_size=None):
@@ -140,6 +147,7 @@ class SearchSpec(NamedTuple):
             getattr(config, "use_pallas_mcts", False), config
         )
         use_pallas_backprop = False
+        use_stream = False
         if use_pallas and batch_size is not None:
             from muzero_general_tpu.ops.mcts_pallas import (
                 choose_block_backprop,
@@ -156,6 +164,17 @@ class SearchSpec(NamedTuple):
             use_pallas = (
                 choose_block_planar(batch_size, N, A) is not None
                 and backprop_ok
+            )
+            # Trees too big for the VMEM kernels stream from HBM instead
+            # (K=1 only: multileaf keeps the XLA path's marking machinery).
+            use_stream = (
+                not use_pallas
+                and batch_leaves == 1
+                and bool(
+                    resolve_fast_path_flag(
+                        getattr(config, "use_stream_mcts", "auto"), config
+                    )
+                )
             )
             # NOT auto-engaged: measured SLOWER than the XLA fold at gomoku
             # size (30.1 -> 17.5 env-steps/s, r4) — the kernel's loop-carried
@@ -179,6 +198,7 @@ class SearchSpec(NamedTuple):
             use_pallas_backprop=use_pallas_backprop,
             capture_path_stats=config.num_simulations <= 256,
             batch_leaves=batch_leaves,
+            use_stream=use_stream,
         )
 
 
@@ -588,7 +608,7 @@ def _expand_and_backprop(
 
 def _backprop_vectorized(tree: Tree, path_nodes, path_actions, leaf_depth,
                          leaf_value, spec: SearchSpec, pre_marked=False,
-                         planar=False, path_stats=None):
+                         planar=False, path_stats=None, packed_edges=None):
     """Whole-path backpropagation with NO sequential walk.
 
     Exact re-formulation of the reference's leaf->root loop
@@ -701,19 +721,41 @@ def _backprop_vectorized(tree: Tree, path_nodes, path_actions, leaf_depth,
     edge_delta = jnp.concatenate(
         [delta[:, 1:], jnp.zeros((M, 1))], axis=1
     )
-    children_vsum = tree.children_vsum.at[bcol, i1, i2].add(
-        jnp.where(edge_mask, edge_delta, 0.0)
-    )
-    if pre_marked:
-        children_visit = tree.children_visit
-        root_visit = tree.root_visit
-        visit_inc = 0.0
-    else:
-        children_visit = tree.children_visit.at[bcol, i1, i2].add(
-            edge_mask.astype(jnp.int32)
+    if packed_edges is not None:
+        # Streaming path: the tree's edge stats live in the packed HBM slab
+        # (ops/mcts_stream.py); scatter into its visit/vsum planes and keep
+        # the Tree's (stale, unused) slabs untouched.
+        from muzero_general_tpu.ops.mcts_stream import P_VISIT, P_VSUM
+
+        packed_edges = packed_edges.at[bcol, pn, P_VSUM, pa].add(
+            jnp.where(edge_mask, edge_delta, 0.0)
         )
-        root_visit = tree.root_visit + 1
-        visit_inc = 1.0
+        children_vsum = tree.children_vsum
+        if pre_marked:
+            children_visit = tree.children_visit
+            root_visit = tree.root_visit
+            visit_inc = 0.0
+        else:
+            packed_edges = packed_edges.at[bcol, pn, P_VISIT, pa].add(
+                edge_mask.astype(jnp.float32)
+            )
+            children_visit = tree.children_visit
+            root_visit = tree.root_visit + 1
+            visit_inc = 1.0
+    else:
+        children_vsum = tree.children_vsum.at[bcol, i1, i2].add(
+            jnp.where(edge_mask, edge_delta, 0.0)
+        )
+        if pre_marked:
+            children_visit = tree.children_visit
+            root_visit = tree.root_visit
+            visit_inc = 0.0
+        else:
+            children_visit = tree.children_visit.at[bcol, i1, i2].add(
+                edge_mask.astype(jnp.int32)
+            )
+            root_visit = tree.root_visit + 1
+            visit_inc = 1.0
     delta0 = delta[:, 0]
     if multi:
         delta0 = delta0.reshape(K, B).sum(axis=0)
@@ -743,7 +785,7 @@ def _backprop_vectorized(tree: Tree, path_nodes, path_actions, leaf_depth,
     min_value = jnp.minimum(tree.min_value, stat_min)
     max_value = jnp.maximum(tree.max_value, stat_max)
 
-    return tree._replace(
+    tree = tree._replace(
         children_visit=children_visit,
         children_vsum=children_vsum,
         root_visit=root_visit,
@@ -751,6 +793,9 @@ def _backprop_vectorized(tree: Tree, path_nodes, path_actions, leaf_depth,
         min_value=min_value,
         max_value=max_value,
     )
+    if packed_edges is not None:
+        return tree, packed_edges
+    return tree
 
 
 def _apply_virtual_marks(tree: Tree, path_nodes, path_actions, leaf_depth,
@@ -1015,6 +1060,99 @@ def run_mcts(
         )
         if spec.use_pallas:
             tree = _from_planar(tree)
+        return MCTSOutput(
+            root_visit_counts=tree.children_visit[:, 0],
+            root_value=tree.root_value(),
+            root_predicted_value=root_predicted_value,
+            max_tree_depth=max_depth,
+            tree=tree,
+            root_hidden=hidden0,
+        )
+
+    if spec.use_stream:
+        # -- HBM-streaming path (big boards; ops/mcts_stream.py) ----------
+        from muzero_general_tpu.ops import mcts_stream
+
+        b_idx = jnp.arange(B)
+        edges0 = mcts_stream.pack_tree(tree, A)
+
+        def stream_body(carry, sim):
+            tree, edges, hidden, pending, max_depth = carry
+            key = jax.random.fold_in(rng, sim + 1)
+            depth_bound = jnp.max(max_depth) + 1
+            hidden = _flush_pending(hidden, pending)
+            seed = jax.random.randint(key, (), 0, 2**31 - 1)
+            parent, action, leaf_depth, path_n, path_a, path_stats = (
+                mcts_stream.descend_stream(
+                    seed, depth_bound, edges, tree.root_legal,
+                    tree.min_value, tree.max_value,
+                    num_players=spec.num_players,
+                    pb_c_base=spec.pb_c_base, pb_c_init=spec.pb_c_init,
+                    discount=spec.discount, A=A, max_depth=spec.max_depth,
+                    tie_jitter=(
+                        0.0
+                        if (
+                            spec.deterministic_tie_break
+                            or spec.pallas_interpret
+                        )
+                        else mcts_stream.TIE_JITTER
+                    ),
+                    interpret=spec.pallas_interpret,
+                )
+            )
+            new_node = sim + 1
+            parent_hidden = hidden[parent, b_idx]
+            value_logits, reward_logits, policy_logits, hidden_leaf = (
+                recurrent_fn(parent_hidden, action)
+            )
+            leaf_value = support_to_scalar(value_logits, spec.support_size)
+            leaf_reward = support_to_scalar(reward_logits, spec.support_size)
+            prior_leaf = jax.nn.softmax(policy_logits, axis=-1)
+            edges = mcts_stream.expand_packed(
+                edges, parent, action, new_node, leaf_reward, prior_leaf, A
+            )
+            # Patch the leaf edge's freshly decoded reward into the captured
+            # stats (it was 0 at descent time — unexpanded edge).
+            path_stats = path_stats.at[b_idx, leaf_depth - 1, 0].set(
+                leaf_reward
+            )
+            # Bucket the fold to the live depth: the scan/scatter ops cost
+            # ~proportionally to the path width, and most sims are far
+            # shallower than the static D = num_simulations+1 bound (the
+            # two [B, D]-indexed scatters alone were 506 us/sim at gomoku
+            # size, r5 trace). W = smallest bucket > max depth this sim.
+            Dfull = path_n.shape[1]
+            buckets = [w for w in (64, 128, 256) if w < Dfull] + [Dfull]
+            need = jnp.max(leaf_depth) + 1
+
+            def mk_branch(W):
+                def br(ops_):
+                    pn_, pa_, ps_ = ops_
+                    return _backprop_vectorized(
+                        tree, pn_[:, :W], pa_[:, :W], leaf_depth,
+                        leaf_value, spec, path_stats=ps_[:, :W],
+                        packed_edges=edges,
+                    )
+
+                return br
+
+            idx = sum(
+                (need > w).astype(jnp.int32) for w in buckets[:-1]
+            ) if len(buckets) > 1 else jnp.int32(0)
+            tree, edges = jax.lax.switch(
+                idx, [mk_branch(w) for w in buckets],
+                (path_n, path_a, path_stats),
+            )
+            pending = (new_node, hidden_leaf)
+            max_depth = jnp.maximum(max_depth, leaf_depth)
+            return (tree, edges, hidden, pending, max_depth), None
+
+        (tree, edges, hidden, pending, max_depth), _ = jax.lax.scan(
+            stream_body,
+            (tree, edges0, hidden, pending0, jnp.zeros((B,), jnp.int32)),
+            jnp.arange(spec.num_simulations),
+        )
+        tree = mcts_stream.unpack_tree(tree, edges, A)
         return MCTSOutput(
             root_visit_counts=tree.children_visit[:, 0],
             root_value=tree.root_value(),
