@@ -166,10 +166,15 @@ class SearchSpec(NamedTuple):
                 and backprop_ok
             )
             # Trees too big for the VMEM kernels stream from HBM instead
-            # (K=1 only: multileaf keeps the XLA path's marking machinery).
+            # (K=1 only: multileaf keeps the XLA path's marking machinery;
+            # B >= 8 only: batch-1 eval lanes keep the staged XLA search —
+            # the kernel's per-lane DMA loop has nothing to amortize there
+            # and [1, A] operands are the shapes Mosaic has historically
+            # miscompiled).
             use_stream = (
                 not use_pallas
                 and batch_leaves == 1
+                and batch_size >= 8
                 and bool(
                     resolve_fast_path_flag(
                         getattr(config, "use_stream_mcts", "auto"), config
@@ -1112,36 +1117,19 @@ def run_mcts(
                 edges, parent, action, new_node, leaf_reward, prior_leaf, A
             )
             # Patch the leaf edge's freshly decoded reward into the captured
-            # stats (it was 0 at descent time — unexpanded edge).
-            path_stats = path_stats.at[b_idx, leaf_depth - 1, 0].set(
-                leaf_reward
-            )
-            # Bucket the fold to the live depth: the scan/scatter ops cost
-            # ~proportionally to the path width, and most sims are far
-            # shallower than the static D = num_simulations+1 bound (the
-            # two [B, D]-indexed scatters alone were 506 us/sim at gomoku
-            # size, r5 trace). W = smallest bucket > max depth this sim.
-            Dfull = path_n.shape[1]
-            buckets = [w for w in (64, 128, 256) if w < Dfull] + [Dfull]
-            need = jnp.max(leaf_depth) + 1
-
-            def mk_branch(W):
-                def br(ops_):
-                    pn_, pa_, ps_ = ops_
-                    return _backprop_vectorized(
-                        tree, pn_[:, :W], pa_[:, :W], leaf_depth,
-                        leaf_value, spec, path_stats=ps_[:, :W],
-                        packed_edges=edges,
-                    )
-
-                return br
-
-            idx = sum(
-                (need > w).astype(jnp.int32) for w in buckets[:-1]
-            ) if len(buckets) > 1 else jnp.int32(0)
-            tree, edges = jax.lax.switch(
-                idx, [mk_branch(w) for w in buckets],
-                (path_n, path_a, path_stats),
+            # stats (it was 0 at descent time — unexpanded edge). All path
+            # arrays stay DEPTH-MAJOR [D, B] end to end (each [D, B] ->
+            # [B, D] relayout costs ~40 us on TPU).
+            pr_dm, pv_dm, ps_dm = path_stats
+            pr_dm = pr_dm.at[leaf_depth - 1, b_idx].set(leaf_reward)
+            # NOTE (measured r5): bucketing this fold to the live max depth
+            # via lax.switch over prefix widths {64,128,256,D} was tried and
+            # is a LOSS (104 -> 81 env-steps/s): XLA conditionals copy the
+            # ~105 MB packed slab at the branch boundary every simulation,
+            # which dwarfs the scan/scatter savings. Full-width fold kept.
+            tree, edges = mcts_stream.backprop_stream(
+                tree, edges, path_n, path_a, leaf_depth, leaf_value,
+                (pr_dm, pv_dm, ps_dm), spec,
             )
             pending = (new_node, hidden_leaf)
             max_depth = jnp.maximum(max_depth, leaf_depth)
