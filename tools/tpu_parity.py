@@ -149,12 +149,59 @@ def main():
             float((v_ref != vt).mean()), float(dvt.mean()), float(dvt.max())
         )
 
+    # ---- 5. HBM-streaming descend (big-board path) on real Mosaic --------
+    # Gomoku-shaped shapes at a reduced sim budget: the deterministic stream
+    # run must match the deterministic staged XLA search EXACTLY (same
+    # zero-jitter tie rule, same fold math on the packed slab).
+    from muzero_general_tpu.games.gomoku import MuZeroConfig as GomokuCfg
+
+    gcfg = GomokuCfg()
+    gcfg.num_simulations = 48
+    Bg = 16
+    grunner = MuZeroNetwork(gcfg)
+    gvars = grunner.init(jax.random.PRNGKey(1))
+    gobs = jax.random.normal(
+        jax.random.PRNGKey(6), (Bg,) + grunner.stacked_observation_shape()
+    )
+    Ag = len(gcfg.action_space)
+    glegal = np.ones((Bg, Ag), bool)
+    glegal[2, :5] = False
+    glegal = jnp.asarray(glegal)
+    gtp = jnp.zeros((Bg,), jnp.int32)
+
+    def gsearch(use_stream):
+        spec = M.SearchSpec.from_config(gcfg, batch_size=Bg)._replace(
+            deterministic_tie_break=True, use_pallas=False,
+            use_stream=use_stream,
+        )
+        with jax.default_matmul_precision("highest"):
+            return M.run_mcts(
+                lambda o: grunner.initial_inference(gvars, o),
+                lambda h, a: grunner.recurrent_inference(gvars, h, a),
+                gobs, glegal, gtp, rng, spec, add_exploration_noise=True,
+            )
+
+    gref = gsearch(False)
+    gstr = gsearch(True)
+    gv_ref = np.asarray(gref.root_visit_counts)
+    gv_str = np.asarray(gstr.root_visit_counts)
+    stream_mismatch = float((gv_ref != gv_str).mean())
+    if stream_mismatch > 0.0:
+        failures.append(
+            f"deterministic STREAM visit mismatch frac={stream_mismatch:.3f}"
+        )
+    if not np.allclose(
+        np.asarray(gref.root_value), np.asarray(gstr.root_value), atol=1e-4
+    ):
+        failures.append("deterministic stream root values diverge")
+
     if failures:
         print("tpu_parity FAIL:", "; ".join(failures))
         return 1
     print(
         f"tpu_parity OK: deterministic fused {1 - mismatch:.1%} exact / "
-        f"staged {1 - mismatch_p:.1%} exact vs f32 oracle; jittered run "
+        f"staged {1 - mismatch_p:.1%} exact / stream "
+        f"{1 - stream_mismatch:.1%} exact vs f32 oracle; jittered run "
         f"{exact:.1%} exact (ties resolve randomly, by design), value gap "
         f"mean {dv.mean():.4f}"
     )
