@@ -1130,6 +1130,7 @@ def run_mcts(
             tree, edges = mcts_stream.backprop_stream(
                 tree, edges, path_n, path_a, leaf_depth, leaf_value,
                 (pr_dm, pv_dm, ps_dm), spec,
+                interpret=spec.pallas_interpret,
             )
             pending = (new_node, hidden_leaf)
             max_depth = jnp.maximum(max_depth, leaf_depth)

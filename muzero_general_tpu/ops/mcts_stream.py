@@ -106,6 +106,10 @@ def _descend_stream_kernel(
         current, depth, active, parent, action, t = state
 
         # ---- stream this level's rows: edges[b, current_b] --------------
+        # NOTE (measured r5): guarding each lane's DMA behind
+        # `@pl.when(active)` to skip finished lanes is a LOSS (the 64
+        # scalar branches per level cost more than the skipped ~4 KB DMAs
+        # and break the issue pipeline); unconditional chains kept.
         for b in range(B):
             pltpu.make_async_copy(
                 edges_ref.at[b, pl.ds(cur_smem[0, b], 1)],
@@ -277,8 +281,134 @@ def descend_stream(seed, depth_bound, edges, root_legal, min_value,
     )
 
 
+def _update_edges_kernel(
+    scal_ref,  # [1] i32 (SMEM): live max depth this sim (loop trip count)
+    edges_in_ref,  # [B, N, S, A_pad] f32 (ANY — aliased to edges_out_ref)
+    path_n_ref,  # [D, B] i32 (VMEM) path node indices, 0 where masked
+    path_a_ref,  # [D, B] i32 (VMEM) path actions, 0 where masked
+    delta_ref,  # [D, B] f32 (VMEM) vsum increments, 0 where masked
+    mask_ref,  # [D, B] f32 (VMEM) 1.0 on live path edges
+    edges_out_ref,  # [B, N, S, A_pad] f32 (ANY — same HBM as edges_in_ref)
+    row_vmem,  # scratch [B, 1, S, A_pad] f32
+    idx_vmem,  # scratch [1, B] i32
+    cur_smem,  # scratch [1, B] i32
+    copy_sems,  # DMA sems [B]
+    idx_sem,  # DMA sem
+):
+    del edges_in_ref  # all RMW goes through the aliased output ref: on TPU
+    # the two refs are the same HBM buffer; in interpret mode the output is
+    # pre-filled with the input, so reading the OUTPUT is correct in both.
+    B = idx_vmem.shape[1]
+    A_pad = row_vmem.shape[3]
+    iota_A = jax.lax.broadcasted_iota(jnp.int32, (B, A_pad), 1)
+
+    def body(t, _):
+        # Ship this level's node indices VMEM -> SMEM for the DMA offsets
+        # (same pattern as the descend kernel's next-level index shipping).
+        idx_vmem[:] = path_n_ref[pl.ds(t, 1), :]
+        dma = pltpu.make_async_copy(idx_vmem, cur_smem, idx_sem)
+        dma.start()
+        dma.wait()
+        # NOTE (measured r5): guarding each lane's DMAs behind
+        # `@pl.when(t < lane_depth_b)` to skip finished lanes is a LOSS
+        # here exactly as in the descend kernel (125.4 -> 108.0
+        # env-steps/s) — the per-lane scalar branches outweigh the
+        # skipped ~4 KB no-op rewrites. Unconditional chains kept;
+        # masked lanes write their (root) row back bit-identical.
+        for b in range(B):
+            pltpu.make_async_copy(
+                edges_out_ref.at[b, pl.ds(cur_smem[0, b], 1)],
+                row_vmem.at[b],
+                copy_sems.at[b],
+            ).start()
+        for b in range(B):
+            pltpu.make_async_copy(
+                edges_out_ref.at[b, pl.ds(cur_smem[0, b], 1)],
+                row_vmem.at[b],
+                copy_sems.at[b],
+            ).wait()
+        # One-hot the per-lane action column; masked lanes add zero and
+        # write their row back bit-identical (their path_n points at the
+        # root row, whose true current contents were just read).
+        pa = jnp.transpose(path_a_ref[pl.ds(t, 1), :])  # [B, 1]
+        dl = jnp.transpose(delta_ref[pl.ds(t, 1), :])
+        mk = jnp.transpose(mask_ref[pl.ds(t, 1), :])
+        onehot = (iota_A == pa).astype(jnp.float32)  # [B, A_pad]
+        row_vmem[:, 0, P_VISIT] = row_vmem[:, 0, P_VISIT] + onehot * mk
+        row_vmem[:, 0, P_VSUM] = row_vmem[:, 0, P_VSUM] + onehot * dl
+        for b in range(B):
+            pltpu.make_async_copy(
+                row_vmem.at[b],
+                edges_out_ref.at[b, pl.ds(cur_smem[0, b], 1)],
+                copy_sems.at[b],
+            ).start()
+        for b in range(B):
+            pltpu.make_async_copy(
+                row_vmem.at[b],
+                edges_out_ref.at[b, pl.ds(cur_smem[0, b], 1)],
+                copy_sems.at[b],
+            ).wait()
+        return 0
+
+    jax.lax.fori_loop(0, scal_ref[0], body, 0)
+
+
+def update_edges_stream(edges, path_n, path_a, edge_delta, edge_mask,
+                        bound, *, interpret=False):
+    """Apply one simulation's backprop edge updates to the packed HBM slab
+    with per-lane row DMA read-modify-write chains instead of XLA scatters.
+
+    The two XLA scatters this replaces serialize at ~12 ns per update over
+    the FULL static [D, B] path arrays (D = max_depth + 1 = 401 for gomoku:
+    2 x 25.7k updates = ~0.5 ms/sim — the measured r5 floor's biggest
+    slice), because scatter cost is shape-, not occupancy-, bound. This
+    kernel (a) walks only the LIVE depth (scalar `bound` = max leaf depth,
+    typically ~90-120 of 401), and (b) pays ~2 row DMAs per lane-level
+    (~4 KB each) instead of serialized per-element scatter traffic. Within
+    a simulation every (node, action) path edge is distinct (it is a tree
+    descent), so the per-level RMWs never collide across levels; lanes
+    never collide because the leading slab index is the lane.
+
+    edges is donated/aliased: the update happens in place on HBM.
+    Math parity: the scatter path in backprop_stream (reference
+    self_play.py:406-430 visit/value_sum accumulation).
+    """
+    B, N, S, A_pad = edges.shape
+    D = path_n.shape[0]
+    return pl.pallas_call(
+        _update_edges_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, N, S, A_pad), jnp.float32),
+        input_output_aliases={1: 0},
+        scratch_shapes=[
+            pltpu.VMEM((B, 1, S, A_pad), jnp.float32),
+            pltpu.VMEM((1, B), jnp.int32),
+            pltpu.SMEM((1, B), jnp.int32),
+            pltpu.SemaphoreType.DMA((B,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(bound, jnp.int32).reshape(1),
+        edges,
+        path_n.astype(jnp.int32),
+        path_a.astype(jnp.int32),
+        edge_delta.astype(jnp.float32),
+        edge_mask.astype(jnp.float32),
+    )
+
+
 def backprop_stream(tree, edges, path_n, path_a, leaf_depth, leaf_value,
-                    path_stats, spec):
+                    path_stats, spec, *, use_update_kernel=True,
+                    interpret=False):
     """Depth-major backprop fold for the stream path.
 
     Same math as ops/mcts._backprop_vectorized (reference
@@ -328,12 +458,22 @@ def backprop_stream(tree, edges, path_n, path_a, leaf_depth, leaf_value,
     delta = jnp.where(same, v, -v)
 
     edge_delta = jnp.concatenate([delta[1:], jnp.zeros((1, B))], axis=0)
-    edges = edges.at[brow, pn, P_VSUM, pa].add(
-        jnp.where(edge_mask, edge_delta, 0.0)
-    )
-    edges = edges.at[brow, pn, P_VISIT, pa].add(
-        edge_mask.astype(jnp.float32)
-    )
+    if use_update_kernel:
+        # In-kernel RMW chains bounded to the live depth (see
+        # update_edges_stream docstring) — replaces the two full-width
+        # XLA scatters that were the r5 floor's biggest slice.
+        edges = update_edges_stream(
+            edges, pn, pa, jnp.where(edge_mask, edge_delta, 0.0),
+            edge_mask.astype(jnp.float32), jnp.max(leaf_depth),
+            interpret=interpret,
+        )
+    else:
+        edges = edges.at[brow, pn, P_VSUM, pa].add(
+            jnp.where(edge_mask, edge_delta, 0.0)
+        )
+        edges = edges.at[brow, pn, P_VISIT, pa].add(
+            edge_mask.astype(jnp.float32)
+        )
     root_visit = tree.root_visit + 1
     root_vsum = tree.root_vsum + delta[0]
 

@@ -91,6 +91,44 @@ def test_stream_invariants_masked_root():
     assert (counts[:, 3] == 0).all()
 
 
+def test_update_kernel_matches_scatter():
+    """update_edges_stream (in-kernel RMW chains) vs the XLA scatter path,
+    random masked paths with distinct (node, action) edges per lane."""
+    B, N, A_pad, D = 4, 16, 128, 12
+    rng = np.random.default_rng(7)
+    edges = rng.normal(size=(B, N, mcts_stream.S_PLANES, A_pad)).astype(
+        np.float32
+    )
+    depths = rng.integers(1, D, B)
+    path_n = np.zeros((D, B), np.int32)
+    path_a = np.zeros((D, B), np.int32)
+    delta = np.zeros((D, B), np.float32)
+    mask = np.zeros((D, B), np.float32)
+    for b in range(B):
+        L = depths[b]
+        nodes = rng.choice(N, L, replace=False)  # tree path: distinct nodes
+        path_n[:L, b] = nodes
+        path_a[:L, b] = rng.integers(0, A_pad, L)
+        delta[:L, b] = rng.normal(size=L)
+        mask[:L, b] = 1.0
+
+    got = np.asarray(
+        mcts_stream.update_edges_stream(
+            jnp.asarray(edges), jnp.asarray(path_n), jnp.asarray(path_a),
+            jnp.asarray(delta), jnp.asarray(mask),
+            int(depths.max()), interpret=True,
+        )
+    )
+    want = edges.copy()
+    for b in range(B):
+        for t in range(depths[b]):
+            want[b, path_n[t, b], mcts_stream.P_VISIT, path_a[t, b]] += 1.0
+            want[b, path_n[t, b], mcts_stream.P_VSUM, path_a[t, b]] += (
+                delta[t, b]
+            )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_pack_unpack_roundtrip():
     B, N, A = 2, 5, 3
     rng = np.random.default_rng(0)
