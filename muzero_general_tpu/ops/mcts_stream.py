@@ -289,68 +289,93 @@ def _update_edges_kernel(
     delta_ref,  # [D, B] f32 (VMEM) vsum increments, 0 where masked
     mask_ref,  # [D, B] f32 (VMEM) 1.0 on live path edges
     edges_out_ref,  # [B, N, S, A_pad] f32 (ANY — same HBM as edges_in_ref)
-    row_vmem,  # scratch [B, 1, S, A_pad] f32
-    idx_vmem,  # scratch [1, B] i32
-    cur_smem,  # scratch [1, B] i32
-    copy_sems,  # DMA sems [B]
+    row_vmem,  # scratch [2, B, 1, S, A_pad] f32 (double-buffered rows)
+    pathn_smem,  # scratch [D, B] i32 (all levels' DMA offsets, upfront)
+    copy_sems,  # DMA sems [2, B] — shared by reads and writes: level t's
+    #             writes ride slot t%2 while level t+1's reads ride slot
+    #             (t+1)%2, so a (slot, lane) sem is never doubly in flight
+    #             (two separate [2, B] arrays exceeded the chip's 2 KB
+    #             sflag space at B=128)
     idx_sem,  # DMA sem
 ):
     del edges_in_ref  # all RMW goes through the aliased output ref: on TPU
     # the two refs are the same HBM buffer; in interpret mode the output is
     # pre-filled with the input, so reading the OUTPUT is correct in both.
-    B = idx_vmem.shape[1]
-    A_pad = row_vmem.shape[3]
+    D, B = path_n_ref.shape
+    A_pad = row_vmem.shape[4]
     iota_A = jax.lax.broadcasted_iota(jnp.int32, (B, A_pad), 1)
+    bound = scal_ref[0]
+
+    # Unlike the descend (whose next index depends on this level's pUCT),
+    # ALL levels' DMA offsets are known upfront — ship the whole path
+    # VMEM -> SMEM once instead of one round trip per level.
+    dma = pltpu.make_async_copy(path_n_ref, pathn_smem, idx_sem)
+    dma.start()
+    dma.wait()
+
+    def start_reads(t, slot):
+        for b in range(B):
+            pltpu.make_async_copy(
+                edges_out_ref.at[b, pl.ds(pathn_smem[t, b], 1)],
+                row_vmem.at[slot, b],
+                copy_sems.at[slot, b],
+            ).start()
+
+    # Double-buffered software pipeline: level t+1's row reads are in
+    # flight while level t computes and writes back. Safe because a
+    # descent path never repeats a (lane, node) row — level t's writes
+    # and level t+1's reads target disjoint LIVE slab rows, and masked
+    # levels aim at the dummy scratch row (pack_tree), whose content is
+    # never read back. NOTE (measured r5): guarding each lane's DMAs behind
+    # `@pl.when(t < lane_depth_b)` to skip finished lanes is a LOSS
+    # (125.4 -> 108.0 env-steps/s) — the per-lane scalar branches
+    # outweigh the skipped ~4 KB no-op rewrites. Unconditional chains.
+    @pl.when(bound > 0)
+    def _():
+        start_reads(0, 0)
 
     def body(t, _):
-        # Ship this level's node indices VMEM -> SMEM for the DMA offsets
-        # (same pattern as the descend kernel's next-level index shipping).
-        idx_vmem[:] = path_n_ref[pl.ds(t, 1), :]
-        dma = pltpu.make_async_copy(idx_vmem, cur_smem, idx_sem)
-        dma.start()
-        dma.wait()
-        # NOTE (measured r5): guarding each lane's DMAs behind
-        # `@pl.when(t < lane_depth_b)` to skip finished lanes is a LOSS
-        # here exactly as in the descend kernel (125.4 -> 108.0
-        # env-steps/s) — the per-lane scalar branches outweigh the
-        # skipped ~4 KB no-op rewrites. Unconditional chains kept;
-        # masked lanes write their (root) row back bit-identical.
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t + 1 < bound)
+        def _():
+            start_reads(t + 1, 1 - slot)
+
         for b in range(B):
             pltpu.make_async_copy(
-                edges_out_ref.at[b, pl.ds(cur_smem[0, b], 1)],
-                row_vmem.at[b],
-                copy_sems.at[b],
-            ).start()
-        for b in range(B):
-            pltpu.make_async_copy(
-                edges_out_ref.at[b, pl.ds(cur_smem[0, b], 1)],
-                row_vmem.at[b],
-                copy_sems.at[b],
+                edges_out_ref.at[b, pl.ds(pathn_smem[t, b], 1)],
+                row_vmem.at[slot, b],
+                copy_sems.at[slot, b],
             ).wait()
-        # One-hot the per-lane action column; masked lanes add zero and
-        # write their row back bit-identical (their path_n points at the
-        # root row, whose true current contents were just read).
+        # One-hot the per-lane action column; masked levels add zero
+        # and RMW the dummy scratch row (see pack_tree).
         pa = jnp.transpose(path_a_ref[pl.ds(t, 1), :])  # [B, 1]
         dl = jnp.transpose(delta_ref[pl.ds(t, 1), :])
         mk = jnp.transpose(mask_ref[pl.ds(t, 1), :])
         onehot = (iota_A == pa).astype(jnp.float32)  # [B, A_pad]
-        row_vmem[:, 0, P_VISIT] = row_vmem[:, 0, P_VISIT] + onehot * mk
-        row_vmem[:, 0, P_VSUM] = row_vmem[:, 0, P_VSUM] + onehot * dl
+        row_vmem[slot, :, 0, P_VISIT] = (
+            row_vmem[slot, :, 0, P_VISIT] + onehot * mk
+        )
+        row_vmem[slot, :, 0, P_VSUM] = (
+            row_vmem[slot, :, 0, P_VSUM] + onehot * dl
+        )
         for b in range(B):
             pltpu.make_async_copy(
-                row_vmem.at[b],
-                edges_out_ref.at[b, pl.ds(cur_smem[0, b], 1)],
-                copy_sems.at[b],
+                row_vmem.at[slot, b],
+                edges_out_ref.at[b, pl.ds(pathn_smem[t, b], 1)],
+                copy_sems.at[slot, b],
             ).start()
+        # Wait the writes before this slot's buffer is refilled at t + 2
+        # (the t+1 reads already in flight target disjoint rows).
         for b in range(B):
             pltpu.make_async_copy(
-                row_vmem.at[b],
-                edges_out_ref.at[b, pl.ds(cur_smem[0, b], 1)],
-                copy_sems.at[b],
+                row_vmem.at[slot, b],
+                edges_out_ref.at[b, pl.ds(pathn_smem[t, b], 1)],
+                copy_sems.at[slot, b],
             ).wait()
         return 0
 
-    jax.lax.fori_loop(0, scal_ref[0], body, 0)
+    jax.lax.fori_loop(0, bound, body, 0)
 
 
 def update_edges_stream(edges, path_n, path_a, edge_delta, edge_mask,
@@ -389,10 +414,9 @@ def update_edges_stream(edges, path_n, path_a, edge_delta, edge_mask,
         out_shape=jax.ShapeDtypeStruct((B, N, S, A_pad), jnp.float32),
         input_output_aliases={1: 0},
         scratch_shapes=[
-            pltpu.VMEM((B, 1, S, A_pad), jnp.float32),
-            pltpu.VMEM((1, B), jnp.int32),
-            pltpu.SMEM((1, B), jnp.int32),
-            pltpu.SemaphoreType.DMA((B,)),
+            pltpu.VMEM((2, B, 1, S, A_pad), jnp.float32),
+            pltpu.SMEM((D, B), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, B)),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -427,7 +451,10 @@ def backprop_stream(tree, edges, path_n, path_a, leaf_depth, leaf_value,
     brow = jnp.broadcast_to(jnp.arange(B)[None, :], (D, B))
 
     edge_mask = t_idx < L  # [D, B]
-    pn = jnp.where(edge_mask, path_n, 0)
+    # Masked levels target the dummy scratch row (slab index N - 1, see
+    # pack_tree) so the update kernel's unconditional RMWs never alias a
+    # live row; the scatter fallback adds zero there just the same.
+    pn = jnp.where(edge_mask, path_n, edges.shape[1] - 1)
     pa = jnp.where(edge_mask, path_a, 0)
     r_edge = jnp.where(edge_mask, path_stats[0], 0.0)
     ev_old = jnp.where(edge_mask, path_stats[1], 0.0)
@@ -524,17 +551,26 @@ def pack_tree(tree, A):
         ),
     ]
     planes += [jnp.zeros_like(planes[0])] * (S_PLANES - len(planes))
-    return jnp.stack(planes, axis=2)  # [B, N, S, A_pad]
+    packed = jnp.stack(planes, axis=2)  # [B, N, S, A_pad]
+    # One DUMMY node row (index N) per lane: masked path levels in the
+    # backprop update kernel aim their unconditional RMW DMAs here, so
+    # they can never race a LIVE row's in-flight write (a depth-1 lane's
+    # masked level-1 read of the root row raced the level-0 root write in
+    # the pipelined kernel and undid the visit — caught by
+    # test_stream_matches_xla_deterministic).
+    return jnp.pad(packed, ((0, 0), (0, 1), (0, 0), (0, 0)))
 
 
 def unpack_tree(tree, edges, A):
-    """Packed slab -> Tree slab fields (end of move)."""
+    """Packed slab -> Tree slab fields (end of move; drops the dummy
+    scratch row pack_tree appended)."""
+    N = tree.children_index.shape[1]
     return tree._replace(
-        children_visit=edges[:, :, P_VISIT, :A].astype(jnp.int32),
-        children_vsum=edges[:, :, P_VSUM, :A],
-        children_reward=edges[:, :, P_REWARD, :A],
-        children_prior=edges[:, :, P_PRIOR, :A],
-        children_index=edges[:, :, P_CHILD, :A].astype(jnp.int32),
+        children_visit=edges[:, :N, P_VISIT, :A].astype(jnp.int32),
+        children_vsum=edges[:, :N, P_VSUM, :A],
+        children_reward=edges[:, :N, P_REWARD, :A],
+        children_prior=edges[:, :N, P_PRIOR, :A],
+        children_index=edges[:, :N, P_CHILD, :A].astype(jnp.int32),
     )
 
 

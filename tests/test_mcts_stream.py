@@ -154,9 +154,11 @@ def test_pack_unpack_roundtrip():
         ),
     )
     packed = mcts_stream.pack_tree(tree, A)
-    assert packed.shape == (B, N, mcts_stream.S_PLANES, 128)
+    # + 1: the dummy scratch row masked backprop RMWs aim at
+    assert packed.shape == (B, N + 1, mcts_stream.S_PLANES, 128)
     # padded action columns must read as unexpanded edges, not node 0
-    assert (np.asarray(packed[:, :, mcts_stream.P_CHILD, A:]) == -1).all()
+    # (live rows only — the dummy scratch row's content is never read)
+    assert (np.asarray(packed[:, :N, mcts_stream.P_CHILD, A:]) == -1).all()
     back = mcts_stream.unpack_tree(tree, packed, A)
     for field in ("children_index", "children_visit", "children_prior",
                   "children_reward", "children_vsum"):
