@@ -291,9 +291,10 @@ def measure_host(num_games=64, num_moves=16, pipeline=False):
 def measure_gomoku(num_games=64, num_moves=2, dtype="bfloat16"):
     """Gomoku lane: the reference's deepest-search config
     (reference games/gomoku.py:42,60-66 — 400 sims, A=121, 6x128 net).
-    N*A ~ 49k edges keeps this on the staged XLA search (the Pallas VMEM
-    gate rejects it; ops/mcts_pallas.fits_vmem*); this lane records what
-    that path delivers."""
+    N*A ~ 49k edges rejects the Pallas VMEM kernels
+    (ops/mcts_pallas.fits_vmem*), so this lane auto-routes to the
+    HBM-streaming kernel pair (ops/mcts_stream.py: one-launch descend +
+    in-kernel RMW backprop on the packed slab)."""
     import jax
 
     from muzero_general_tpu.games.gomoku import MuZeroConfig, make_env
